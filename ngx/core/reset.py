@@ -1,0 +1,226 @@
+"""Procedural generation under ``jax.random`` — the native reset.
+
+The reference reset rejection-samples placements from a mutating Python list on
+the global NumPy RNG (``pogostick_v1_env.py:86-181``).  Picking uniformly
+without replacement from a shrinking list is distribution-identical to walking
+one uniform permutation of the interior cells, so the native reset draws a
+single permutation and assigns items along it with a ``lax.scan`` — fixed
+shapes, no while-loops, vmappable.  (Bit-exact replay of the reference's exact
+NumPy draw sequence lives host-side in :mod:`ngx.core.mirror` for the
+conformance harness.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import spec as S
+from .state import EnvState
+
+
+def _interior_cells(H: int) -> np.ndarray:
+    """Cells ≥2 away from the wall, row-major — pogostick_v1_env.py:136-138."""
+    cells = [(r, c) for r in range(2, H - 2) for c in range(2, H - 2)]
+    return np.asarray(cells, dtype=np.int32)
+
+
+def make_reset(sp: S.EnvSpec):
+    """Compile ``reset(key) -> (state, obs)`` for one spec."""
+    H = sp.map_size
+    I = sp.n_items
+    wall = sp.items.index("wall") if "wall" in sp.items else 0
+    tree = sp.items.index("tree_log") if "tree_log" in sp.items else -1
+    tap = sp.items.index("tree_tap") if "tree_tap" in sp.items else -1
+
+    interior = jnp.asarray(_interior_cells(H))
+    N = interior.shape[0]
+    K = len(sp.spawn_items)
+    spawn_items = jnp.asarray(sp.spawn_items, dtype=jnp.int32)
+    spawn_qty = jnp.asarray(sp.spawn_qty, dtype=jnp.int32)
+
+    base_map = np.zeros((H, H), dtype=np.int32)
+    base_map[0, :] = wall
+    base_map[-1, :] = wall
+    base_map[:, 0] = wall
+    base_map[:, -1] = wall
+    base_map_j = jnp.asarray(base_map)
+
+    inv_lo = jnp.asarray(
+        sp.start_inv_lo if sp.start_inv_lo is not None else np.zeros((I,), np.int32))
+    inv_hi = jnp.asarray(
+        sp.start_inv_hi if sp.start_inv_hi is not None else np.zeros((I,), np.int32))
+    random_inv = sp.start_inv_hi is not None and bool(
+        (np.asarray(sp.start_inv_hi) != np.asarray(
+            sp.start_inv_lo if sp.start_inv_lo is not None else 0)).any())
+
+    deltas = jnp.asarray(S.FACING_DELTAS)
+
+    from .step import make_step
+    get_obs = make_step(sp).get_obs
+
+    def _place_items(key, m, agent):
+        """Walk one permutation of the interior, placing spawn items in table
+        order; a cell is consumed per visit whether or not it accepts an item
+        (mirrors the pop-regardless loop of pogostick_v1_env.py:159-181)."""
+        if K == 0:
+            return m
+        perm = jax.random.permutation(key, N)
+
+        def body(carry, idx):
+            m, quotas = carry
+            cell = interior[idx]
+            r, c = cell[0], cell[1]
+            remaining = quotas > 0
+            cur = jnp.argmax(remaining)          # first item with quota left
+            any_left = jnp.any(remaining)
+            free = (
+                (m[r, c] == 0)
+                & (m[r - 1, c] == 0) & (m[r + 1, c] == 0)
+                & (m[r, c - 1] == 0) & (m[r, c + 1] == 0)
+            )
+            not_agent = ~jnp.all(cell == agent)
+            place = any_left & free & not_agent
+            m = m.at[r, c].set(jnp.where(place, spawn_items[cur], m[r, c]))
+            quotas = quotas.at[cur].add(jnp.where(place, -1, 0))
+            return (m, quotas), None
+
+        (m, _), _ = jax.lax.scan(body, (m, spawn_qty), perm)
+        return m
+
+    def reset(key) -> EnvState:
+        k_agent, k_face, k_items, k_inv, k_coin, k_tap, k_fence, k_add, k_rep = \
+            jax.random.split(key, 9)
+
+        agent_idx = jax.random.randint(k_agent, (), 0, N)
+        agent = interior[agent_idx]
+        facing = jax.random.randint(k_face, (), 0, 4)
+
+        m = _place_items(k_items, base_map_j, agent)
+
+        # starting inventory (fixed + uniform ranges, novel_gridworld_v3_env.py:45-47)
+        if random_inv:
+            inv = jax.random.randint(k_inv, (I,), inv_lo, inv_hi + 1)
+        else:
+            inv = inv_lo
+
+        # v3: 50% chance of a wall in front of the agent (v3:148-152)
+        if sp.reset_wall_coin:
+            d = deltas[facing]
+            fr, fc = agent[0] + d[0], agent[1] + d[1]
+            coin = jax.random.bernoulli(k_coin, 0.5)
+            m = m.at[fr, fc].set(
+                jnp.where(coin & (m[fr, fc] == 0), wall, m[fr, fc]))
+
+        # Pogostick-v0: pre-place one tree_tap next to a random tree
+        # (pogostick_v0_env.py:155-178) — uniform over valid (tree, direction)
+        # pairs, matching the retry loop's conditional distribution.
+        if sp.reset_place_tap:
+            is_tree = m == tree
+            cand_valid = []
+            cand_pos = []
+            for d in np.asarray(S.FACING_DELTAS):
+                tr = jnp.roll(is_tree, shift=(int(d[0]), int(d[1])), axis=(0, 1))
+                # rolled: True at the would-be tap cell; mask wrapped edges
+                edge = np.ones((H, H), bool)
+                if d[0] == -1:
+                    edge[-1, :] = False
+                if d[0] == 1:
+                    edge[0, :] = False
+                if d[1] == -1:
+                    edge[:, -1] = False
+                if d[1] == 1:
+                    edge[:, 0] = False
+                cand_valid.append(tr & jnp.asarray(edge))
+                cand_pos.append(True)
+            valid = jnp.stack(cand_valid)            # [4, H, W] — tap target cells
+            rr = jnp.arange(H)[None, :, None]
+            cc = jnp.arange(H)[None, None, :]
+            is_air = (m == 0)[None]
+            not_agent = ~((rr == agent[0]) & (cc == agent[1]))
+            valid = valid & is_air & not_agent
+            flat = valid.reshape(-1)
+            logits = jnp.where(flat, 0.0, -jnp.inf)
+            pick = jax.random.categorical(k_tap, logits)
+            pr = (pick % (H * H)) // H
+            pc = pick % H
+            any_valid = jnp.any(flat)
+            m = m.at[pr, pc].set(jnp.where(any_valid, tap, m[pr, pc]))
+
+        # novelty reset transforms ---------------------------------------
+        if sp.reset_fence is not None:
+            fence_id, lo, hi = sp.reset_fence
+            m = _percent_fill_fence(k_fence, m, agent, fence_id, lo, hi, wall, H)
+        if sp.reset_additem is not None:
+            item_id, lo, hi = sp.reset_additem
+            m = _percent_place(k_add, m, agent, m == 0, item_id, lo, hi)
+        if sp.reset_replace is not None:
+            from_id, to_id, lo, hi = sp.reset_replace
+            m = _percent_place(k_rep, m, agent, m == from_id, to_id, lo, hi)
+
+        if sp.reset_inv_set is not None:
+            setv = jnp.asarray(sp.reset_inv_set, dtype=jnp.int32)
+            inv = jnp.where(setv >= 0, setv, inv)
+
+        state = EnvState(
+            map=m,
+            agent=agent,
+            facing=facing,
+            inventory=inv.astype(jnp.int32),
+            selected=jnp.int32(-1),
+            step_count=jnp.int32(0),
+            last_action=jnp.int32(0),
+            last_reward=jnp.float32(0.0),
+            last_cost=jnp.float32(0.0),
+            last_done=jnp.asarray(False),
+        )
+        return state, get_obs(state)
+
+    return reset
+
+
+def _percent_place(key, m, agent, eligible, item_id, lo, hi):
+    """Place ``item_id`` on ceil(count(eligible) * p%) eligible cells, p ~
+    U[lo, hi); agent cell skipped but still consumes a slot
+    (novelty_wrappers.py:1013-1034, 1126-1148)."""
+    k_p, k_shuf = jax.random.split(key)
+    p = jax.random.randint(k_p, (), lo, hi)
+    count = jnp.sum(eligible)
+    n = jnp.ceil(count * (p / 100.0)).astype(jnp.int32)
+    scores = jnp.where(eligible, jax.random.uniform(k_shuf, m.shape), jnp.inf)
+    order = jnp.argsort(scores.reshape(-1))
+    rank = jnp.zeros((m.size,), jnp.int32).at[order].set(jnp.arange(m.size))
+    rank = rank.reshape(m.shape)
+    H = m.shape[0]
+    rr = jnp.arange(H)[:, None]
+    cc = jnp.arange(H)[None, :]
+    not_agent = ~((rr == agent[0]) & (cc == agent[1]))
+    sel = eligible & (rank < n) & not_agent
+    return jnp.where(sel, item_id, m)
+
+
+def _percent_fill_fence(key, m, agent, fence_id, lo, hi, wall, H):
+    """Fence p% of the non-air non-wall cells with a 3x3 air-fill around each
+    (novelty_wrappers.py:868-889).  Order-independent: the final map is the
+    union of the selected 3x3 neighborhoods written onto air cells."""
+    k_p, k_shuf = jax.random.split(key)
+    eligible = (m != 0) & (m != wall)
+    p = jax.random.randint(k_p, (), lo, hi)
+    count = jnp.sum(eligible)
+    n = jnp.ceil(count * (p / 100.0)).astype(jnp.int32)
+    scores = jnp.where(eligible, jax.random.uniform(k_shuf, m.shape), jnp.inf)
+    order = jnp.argsort(scores.reshape(-1))
+    rank = jnp.zeros((m.size,), jnp.int32).at[order].set(jnp.arange(m.size))
+    centers = eligible & (rank.reshape(m.shape) < n)
+    # dilate 3x3
+    cp = jnp.pad(centers, 1)
+    dil = jnp.zeros_like(centers)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            dil = dil | cp[1 + dr:1 + dr + H, 1 + dc:1 + dc + H]
+    rr = jnp.arange(H)[:, None]
+    cc = jnp.arange(H)[None, :]
+    not_agent = ~((rr == agent[0]) & (cc == agent[1]))
+    sel = dil & (m == 0) & not_agent
+    return jnp.where(sel, fence_id, m)
