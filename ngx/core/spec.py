@@ -83,6 +83,11 @@ OBS_DICT = 0          # modern raw-state dict (pogostick_v1_env.py:214-228)
 OBS_LIDAR_V0 = 1      # 5 beams / 180°, fill=max_beam_range (novel_gridworld_v0_env.py:136-173)
 OBS_LIDAR_INV = 2     # 8 beams / 360° over lidar item subset + full inventory
                       # (novel_gridworld_v1_env.py:139-204)
+OBS_LIDAR_FRONT = 3   # LidarInFront wrapper: 360° over items-{air,goal}, range
+                      # = hypotenuse, + inventory minus unbreakables
+                      # (observation_wrappers.py:10-80)
+OBS_AGENT_MAP = 4     # AgentMap wrapper: 11x11 window + facing + inventory
+                      # (observation_wrappers.py:83-129)
 
 # Message codes for info['message'] — decoded host-side (see ngx.compat).
 MSG_NONE = 0

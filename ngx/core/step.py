@@ -88,7 +88,8 @@ def make_step(sp: S.EnvSpec):
     rubber_i = sp.items.index("rubber") if "rubber" in sp.items else 0
 
     from ..ops.rays import make_lidar_fn  # local import to avoid cycles
-    lidar_fn = make_lidar_fn(sp) if sp.obs_mode != S.OBS_DICT else None
+    lidar_fn = (make_lidar_fn(sp)
+                if sp.obs_mode not in (S.OBS_DICT, S.OBS_AGENT_MAP) else None)
 
     def get_obs(state: EnvState):
         if sp.obs_mode == S.OBS_DICT:
@@ -99,9 +100,29 @@ def make_step(sp: S.EnvSpec):
                 "agent_facing_id": state.facing,
                 "inventory_items_quantity": state.inventory,
             }
+        if sp.obs_mode == S.OBS_AGENT_MAP:
+            # observation_wrappers.py:102-129 — 11x11 window centred on the
+            # agent (extend=5, zero-padded), + facing + inventory.  One
+            # dynamic_slice of the padded map instead of the reference's
+            # full-map copy per step.
+            ext = 5
+            padded = jnp.pad(state.map, ext)
+            win = jax.lax.dynamic_slice(
+                padded, (state.agent[0], state.agent[1]),
+                (2 * ext + 1, 2 * ext + 1))
+            return {
+                "agent_map": win,
+                "agent_facing_id": state.facing,
+                "inventory_items_quantity": state.inventory,
+            }
         lidar = lidar_fn(state.map, state.agent, state.facing)
         if sp.obs_mode == S.OBS_LIDAR_V0:
             return lidar
+        if sp.obs_mode == S.OBS_LIDAR_FRONT:
+            # observation_wrappers.py:70-80 — lidar + inventory over sorted
+            # items minus unbreakables (sorted == id order)
+            keep = np.flatnonzero(~np.asarray(sp.unbreakable))
+            return jnp.concatenate([lidar, state.inventory[jnp.asarray(keep)]])
         # novel_gridworld_v1_env.py:194-204 — lidar + inventory (sorted == id order)
         return jnp.concatenate([lidar, state.inventory[1:]])
 

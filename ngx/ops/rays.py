@@ -58,6 +58,20 @@ def make_lidar_fn(sp: S.EnvSpec):
         n_slots = sp.n_items - 1           # ids 1..I-1 (air excluded)
         slot_of_item = np.arange(sp.n_items, dtype=np.int32) - 1
         fill = max_range
+    elif sp.obs_mode == S.OBS_LIDAR_FRONT:
+        # observation_wrappers.py:32-68 — 360°, items-{air,goal}, bounded range
+        # = hypotenuse of the interior square, 0-fill
+        num_beams = sp.lidar_num_beams
+        max_range = int(np.sqrt(2 * (H - 2) ** 2))
+        table = beam_offsets(num_beams, max_range, full_circle=True)
+        goal = sp.items[sp.goal_item] if sp.goal_item >= 0 else None
+        lidar_sorted = sorted(x for x in sp.items if x not in ("air", goal))
+        n_slots = len(lidar_sorted)
+        slot_of_item = np.full((sp.n_items,), -1, dtype=np.int32)
+        for i, name in enumerate(sp.items):
+            if name in lidar_sorted:
+                slot_of_item[i] = lidar_sorted.index(name)
+        fill = 0
     else:
         # novel_gridworld_v1_env.py:139-175 — 8 beams, 360°, item subset, 0-fill
         num_beams = sp.lidar_num_beams

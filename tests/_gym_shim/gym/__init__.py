@@ -38,6 +38,11 @@ class Env:
 class Wrapper(Env):
     def __init__(self, env):
         self.env = env
+        # gym 0.18 Wrapper copies the spaces at wrap time; without this the
+        # Env class attributes (None) shadow __getattr__ forwarding
+        self.action_space = env.action_space
+        self.observation_space = env.observation_space
+        self.metadata = env.metadata
 
     def __getattr__(self, name):
         if name.startswith("_"):
