@@ -16,3 +16,5 @@ from .core.state import EnvState, StepInfo  # noqa: F401
 from .core.step import make_step  # noqa: F401
 from .core.reset import make_reset  # noqa: F401
 from .presets import SPEC_BUILDERS, make_spec  # noqa: F401
+from .novelty import inject_novelty  # noqa: F401
+from . import transforms  # noqa: F401

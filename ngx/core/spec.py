@@ -134,6 +134,9 @@ class EnvSpec:
 
     # --- recipes ----------------------------------------------------------
     recipe_names: Tuple[str, ...]     # crafted item name per recipe index
+    # ingredient names per recipe, in the reference's dict insertion order —
+    # drives RNG-order-sensitive draws (Crate contents, novelty_wrappers.py:1062-1069)
+    recipe_input_order: Tuple[Tuple[str, ...], ...]
     recipes_in: np.ndarray            # int32[R, I]
     recipes_out: np.ndarray           # int32[R, I]
     recipe_multi: np.ndarray          # bool[R] — >1 distinct ingredient ⇒ needs table
@@ -267,10 +270,12 @@ def recipes_to_arrays(recipes: Dict[str, Dict], items: Tuple[str, ...]):
     rin = np.zeros((len(names), I), dtype=np.int32)
     rout = np.zeros((len(names), I), dtype=np.int32)
     multi = np.zeros((len(names),), dtype=bool)
+    in_order = []
     for r, name in enumerate(names):
         for item, q in recipes[name]["input"].items():
             rin[r, idx[item]] = q
         for item, q in recipes[name]["output"].items():
             rout[r, idx[item]] = q
         multi[r] = len(recipes[name]["input"]) > 1
-    return names, rin, rout, multi
+        in_order.append(tuple(recipes[name]["input"].keys()))
+    return names, rin, rout, multi, tuple(in_order)

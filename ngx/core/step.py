@@ -119,12 +119,18 @@ def make_step(sp: S.EnvSpec):
         if sp.obs_mode == S.OBS_LIDAR_V0:
             return lidar
         if sp.obs_mode == S.OBS_LIDAR_FRONT:
-            # observation_wrappers.py:70-80 — lidar + inventory over sorted
-            # items minus unbreakables (sorted == id order)
-            keep = np.flatnonzero(~np.asarray(sp.unbreakable))
+            # observation_wrappers.py:70-80 — lidar + inventory over
+            # name-sorted items minus unbreakables (the reference reads the
+            # live inventory dict in sorted order, so novelty-appended item
+            # ids interleave alphabetically)
+            keep = [i for _, i in sorted((n, i) for i, n in enumerate(sp.items))
+                    if not sp.unbreakable[i]]
             return jnp.concatenate([lidar, state.inventory[jnp.asarray(keep)]])
-        # novel_gridworld_v1_env.py:194-204 — lidar + inventory (sorted == id order)
-        return jnp.concatenate([lidar, state.inventory[1:]])
+        # novel_gridworld_v1_env.py:194-204 — lidar + name-sorted inventory
+        # (all items except air; sorted == id order until a novelty appends)
+        keep = [i for _, i in sorted((n, i) for i, n in enumerate(sp.items))
+                if i != 0]
+        return jnp.concatenate([lidar, state.inventory[jnp.asarray(keep)]])
 
     def _neighbors4(m, r, c):
         """Values of the 4-neighborhood, replicating the bounds-checked reads of
@@ -201,10 +207,14 @@ def make_step(sp: S.EnvSpec):
 
         if sp.axe_mode != S.AXE_NONE:
             # axe overrides: +10 with axe on ANY breakable; reward stays -1
-            # without axe even for bonus items (novelty_wrappers.py:56-84)
+            # without axe even for bonus items; the cost discount only applies
+            # on a successful axe break — failures stay 3600
+            # (novelty_wrappers.py:45-84: step_cost starts 3600, reduced
+            # inside the success branches only)
             brk_reward = jnp.where(axe_sel, sp.reward_intermediate, sp.reward_step)
             byield = jnp.where(axe_sel & sp.axe_breakincrease, 2, 1)
-            brk_cost = jnp.where(axe_sel, sp.break_cost * sp.axe_cost_mult,
+            brk_cost = jnp.where(axe_sel & break_ok,
+                                 sp.break_cost * sp.axe_cost_mult,
                                  jnp.float32(sp.break_cost))
         else:
             brk_reward = break_reward[front]

@@ -60,12 +60,14 @@ def make_lidar_fn(sp: S.EnvSpec):
         fill = max_range
     elif sp.obs_mode == S.OBS_LIDAR_FRONT:
         # observation_wrappers.py:32-68 — 360°, items-{air,goal}, bounded range
-        # = hypotenuse of the interior square, 0-fill
+        # = hypotenuse of the interior square, 0-fill.  The item subset is the
+        # wrap-time snapshot stored by ngx.transforms.lidar_in_front (items a
+        # novelty appends afterwards don't get beams, matching the reference
+        # wrapper whose lidar_items freeze at construction).
         num_beams = sp.lidar_num_beams
         max_range = int(np.sqrt(2 * (H - 2) ** 2))
         table = beam_offsets(num_beams, max_range, full_circle=True)
-        goal = sp.items[sp.goal_item] if sp.goal_item >= 0 else None
-        lidar_sorted = sorted(x for x in sp.items if x not in ("air", goal))
+        lidar_sorted = sorted(sp.lidar_items)
         n_slots = len(lidar_sorted)
         slot_of_item = np.full((sp.n_items,), -1, dtype=np.int32)
         for i, name in enumerate(sp.items):

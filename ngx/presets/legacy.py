@@ -36,7 +36,7 @@ def _legacy_spec(env_id, actions, spawn, goal_counts_d, goal_any,
     iid = {n: i for i, n in enumerate(items_t)}
     I = len(items_t)
 
-    rec_names, rin, rout, multi = recipes_to_arrays(recipes, items_t)
+    rec_names, rin, rout, multi, rin_order = recipes_to_arrays(recipes, items_t)
     R = len(rec_names)
 
     names, ops, args = [], [], []
@@ -89,6 +89,7 @@ def _legacy_spec(env_id, actions, spawn, goal_counts_d, goal_any,
         action_cost_success=np.zeros((A,), np.float32),  # legacy: no step costs
         action_cost_fail=np.zeros((A,), np.float32),
         recipe_names=rec_names,
+        recipe_input_order=rin_order,
         recipes_in=rin,
         recipes_out=rout,
         recipe_multi=multi,

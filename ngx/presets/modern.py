@@ -55,7 +55,7 @@ def modern_spec(env_id, item_set, recipes, goal_item, spawn, manipulation,
     iid = {n: i for i, n in enumerate(items)}
     I = len(items)
 
-    rec_names, rin, rout, multi = recipes_to_arrays(recipes, items)
+    rec_names, rin, rout, multi, rin_order = recipes_to_arrays(recipes, items)
     R = len(rec_names)
 
     # action layout: manipulation, Craft_* sorted, Select_* sorted
@@ -105,6 +105,7 @@ def modern_spec(env_id, item_set, recipes, goal_item, spawn, manipulation,
         action_cost_success=np.asarray(c_ok, np.float32),
         action_cost_fail=np.asarray(c_fail, np.float32),
         recipe_names=rec_names,
+        recipe_input_order=rin_order,
         recipes_in=rin,
         recipes_out=rout,
         recipe_multi=multi,

@@ -17,9 +17,13 @@ def lidar_in_front(spec: EnvSpec, num_beams: int = 8) -> EnvSpec:
     inventory of all non-unbreakable items.  Pure data change — the gather
     tables are built in :func:`ngx.ops.rays.make_lidar_fn`.
     """
+    goal = spec.items[spec.goal_item] if spec.goal_item >= 0 else None
     return spec.replace(
         obs_mode=S.OBS_LIDAR_FRONT,
         lidar_num_beams=num_beams,
+        # wrap-time snapshot (observation_wrappers.py:21-24): items appended
+        # by later novelty transforms get no beams, like the reference stack
+        lidar_items=tuple(x for x in spec.items if x not in ("air", goal)),
         novelty_tag=spec.novelty_tag + f"|lidar{num_beams}",
     )
 
