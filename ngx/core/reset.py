@@ -34,28 +34,30 @@ def make_reset(sp: S.EnvSpec):
     tree = sp.items.index("tree_log") if "tree_log" in sp.items else -1
     tap = sp.items.index("tree_tap") if "tree_tap" in sp.items else -1
 
-    interior = jnp.asarray(_interior_cells(H))
+    # host numpy constants, embedded at trace time (avoids committing to a
+    # device at build time — see the matching note in ngx/core/step.py)
+    interior = _interior_cells(H)
     N = interior.shape[0]
     K = len(sp.spawn_items)
-    spawn_items = jnp.asarray(sp.spawn_items, dtype=jnp.int32)
-    spawn_qty = jnp.asarray(sp.spawn_qty, dtype=jnp.int32)
+    spawn_items = np.asarray(sp.spawn_items, dtype=np.int32)
+    spawn_qty = np.asarray(sp.spawn_qty, dtype=np.int32)
 
     base_map = np.zeros((H, H), dtype=np.int32)
     base_map[0, :] = wall
     base_map[-1, :] = wall
     base_map[:, 0] = wall
     base_map[:, -1] = wall
-    base_map_j = jnp.asarray(base_map)
+    base_map_j = base_map
 
-    inv_lo = jnp.asarray(
+    inv_lo = np.asarray(
         sp.start_inv_lo if sp.start_inv_lo is not None else np.zeros((I,), np.int32))
-    inv_hi = jnp.asarray(
+    inv_hi = np.asarray(
         sp.start_inv_hi if sp.start_inv_hi is not None else np.zeros((I,), np.int32))
     random_inv = sp.start_inv_hi is not None and bool(
         (np.asarray(sp.start_inv_hi) != np.asarray(
             sp.start_inv_lo if sp.start_inv_lo is not None else 0)).any())
 
-    deltas = jnp.asarray(S.FACING_DELTAS)
+    deltas = S.FACING_DELTAS
 
     from .step import make_step
     get_obs = make_step(sp).get_obs
@@ -66,11 +68,13 @@ def make_reset(sp: S.EnvSpec):
         (mirrors the pop-regardless loop of pogostick_v1_env.py:159-181)."""
         if K == 0:
             return m
+        interior_j = jnp.asarray(interior)
+        spawn_items_j = jnp.asarray(spawn_items)
         perm = jax.random.permutation(key, N)
 
         def body(carry, idx):
             m, quotas = carry
-            cell = interior[idx]
+            cell = interior_j[idx]
             r, c = cell[0], cell[1]
             remaining = quotas > 0
             cur = jnp.argmax(remaining)          # first item with quota left
@@ -82,11 +86,11 @@ def make_reset(sp: S.EnvSpec):
             )
             not_agent = ~jnp.all(cell == agent)
             place = any_left & free & not_agent
-            m = m.at[r, c].set(jnp.where(place, spawn_items[cur], m[r, c]))
+            m = m.at[r, c].set(jnp.where(place, spawn_items_j[cur], m[r, c]))
             quotas = quotas.at[cur].add(jnp.where(place, -1, 0))
             return (m, quotas), None
 
-        (m, _), _ = jax.lax.scan(body, (m, spawn_qty), perm)
+        (m, _), _ = jax.lax.scan(body, (m, jnp.asarray(spawn_qty)), perm)
         return m
 
     def reset(key) -> EnvState:
@@ -94,20 +98,21 @@ def make_reset(sp: S.EnvSpec):
             jax.random.split(key, 9)
 
         agent_idx = jax.random.randint(k_agent, (), 0, N)
-        agent = interior[agent_idx]
+        agent = jnp.asarray(interior)[agent_idx]
         facing = jax.random.randint(k_face, (), 0, 4)
 
-        m = _place_items(k_items, base_map_j, agent)
+        m = _place_items(k_items, jnp.asarray(base_map_j), agent)
 
         # starting inventory (fixed + uniform ranges, novel_gridworld_v3_env.py:45-47)
         if random_inv:
-            inv = jax.random.randint(k_inv, (I,), inv_lo, inv_hi + 1)
+            inv = jax.random.randint(k_inv, (I,), jnp.asarray(inv_lo),
+                                     jnp.asarray(inv_hi) + 1)
         else:
-            inv = inv_lo
+            inv = jnp.asarray(inv_lo)
 
         # v3: 50% chance of a wall in front of the agent (v3:148-152)
         if sp.reset_wall_coin:
-            d = deltas[facing]
+            d = jnp.asarray(deltas)[facing]
             fr, fc = agent[0] + d[0], agent[1] + d[1]
             coin = jax.random.bernoulli(k_coin, 0.5)
             m = m.at[fr, fc].set(

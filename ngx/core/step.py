@@ -44,39 +44,44 @@ def make_step(sp: S.EnvSpec):
     I = sp.n_items
     H = sp.map_size
 
-    action_op = jnp.asarray(sp.action_op, dtype=jnp.int32)
-    action_arg = jnp.asarray(sp.action_arg, dtype=jnp.int32)
-    cost_ok = jnp.asarray(sp.action_cost_success, dtype=jnp.float32)
-    cost_fail = jnp.asarray(sp.action_cost_fail, dtype=jnp.float32)
-    unbreakable = jnp.asarray(sp.unbreakable)
-    break_reward = jnp.asarray(sp.break_reward, dtype=jnp.float32)
-    break_yield = jnp.asarray(sp.break_yield, dtype=jnp.int32)
-    entity_mask = jnp.asarray(sp.entity_mask)
+    # All tables stay host-side numpy here and are converted with jnp.asarray
+    # at trace time below: they become embedded XLA constants directly from
+    # host memory.  (jnp.asarray at closure-build time would commit them to
+    # the default device, and MLIR constant lowering then has to fetch them
+    # back — a D2H that stalls on tunneled-TPU setups.)
+    action_op = np.asarray(sp.action_op, dtype=np.int32)
+    action_arg = np.asarray(sp.action_arg, dtype=np.int32)
+    cost_ok = np.asarray(sp.action_cost_success, dtype=np.float32)
+    cost_fail = np.asarray(sp.action_cost_fail, dtype=np.float32)
+    unbreakable = np.asarray(sp.unbreakable)
+    break_reward = np.asarray(sp.break_reward, dtype=np.float32)
+    break_yield = np.asarray(sp.break_yield, dtype=np.int32)
+    entity_mask = np.asarray(sp.entity_mask)
 
     R = max(sp.n_recipes, 1)
-    recipes_in = jnp.asarray(
-        sp.recipes_in if sp.n_recipes else np.zeros((1, I), np.int32), dtype=jnp.int32)
-    recipes_out = jnp.asarray(
-        sp.recipes_out if sp.n_recipes else np.zeros((1, I), np.int32), dtype=jnp.int32)
-    recipe_multi = jnp.asarray(
+    recipes_in = np.asarray(
+        sp.recipes_in if sp.n_recipes else np.zeros((1, I), np.int32), dtype=np.int32)
+    recipes_out = np.asarray(
+        sp.recipes_out if sp.n_recipes else np.zeros((1, I), np.int32), dtype=np.int32)
+    recipe_multi = np.asarray(
         sp.recipe_multi if sp.n_recipes else np.zeros((1,), bool))
-    ccost_ok = jnp.asarray(
-        sp.craft_cost_success if sp.n_recipes else np.zeros((1,), np.float32), dtype=jnp.float32)
-    ccost_missing = jnp.asarray(
-        sp.craft_cost_missing if sp.n_recipes else np.zeros((1,), np.float32), dtype=jnp.float32)
-    ccost_notable = jnp.asarray(
-        sp.craft_cost_no_table if sp.n_recipes else np.zeros((1,), np.float32), dtype=jnp.float32)
-    deadend_recipes = jnp.asarray(
+    ccost_ok = np.asarray(
+        sp.craft_cost_success if sp.n_recipes else np.zeros((1,), np.float32), dtype=np.float32)
+    ccost_missing = np.asarray(
+        sp.craft_cost_missing if sp.n_recipes else np.zeros((1,), np.float32), dtype=np.float32)
+    ccost_notable = np.asarray(
+        sp.craft_cost_no_table if sp.n_recipes else np.zeros((1,), np.float32), dtype=np.float32)
+    deadend_recipes = np.asarray(
         sp.deadend_recipes if sp.n_recipes else np.zeros((1,), bool))
 
-    goal_counts = jnp.asarray(sp.goal_counts, dtype=jnp.int32)
-    crate_contents = jnp.asarray(
+    goal_counts = np.asarray(sp.goal_counts, dtype=np.int32)
+    crate_contents = np.asarray(
         sp.crate_contents if sp.crate_contents is not None else np.zeros((I,), np.int32),
-        dtype=jnp.int32)
+        dtype=np.int32)
 
-    deltas = jnp.asarray(S.FACING_DELTAS)
-    turn_left = jnp.asarray(S.TURN_LEFT)
-    turn_right = jnp.asarray(S.TURN_RIGHT)
+    deltas = S.FACING_DELTAS
+    turn_left = S.TURN_LEFT
+    turn_right = S.TURN_RIGHT
 
     # legacy craft-nag recipe/item indices (novel_gridworld_v2_env.py:313-323,
     # novel_gridworld_v4_env.py:398-405)
@@ -144,16 +149,31 @@ def make_step(sp: S.EnvSpec):
         return vals, ok
 
     def step(state: EnvState, action):
+        # trace-time constant embedding of the host tables (see note above)
+        action_op_, action_arg_ = jnp.asarray(action_op), jnp.asarray(action_arg)
+        cost_ok_, cost_fail_ = jnp.asarray(cost_ok), jnp.asarray(cost_fail)
+        unbreakable_ = jnp.asarray(unbreakable)
+        break_reward_, break_yield_ = jnp.asarray(break_reward), jnp.asarray(break_yield)
+        entity_mask_ = jnp.asarray(entity_mask)
+        recipes_in_, recipes_out_ = jnp.asarray(recipes_in), jnp.asarray(recipes_out)
+        recipe_multi_ = jnp.asarray(recipe_multi)
+        ccost_ok_, ccost_missing_, ccost_notable_ = (
+            jnp.asarray(ccost_ok), jnp.asarray(ccost_missing), jnp.asarray(ccost_notable))
+        deadend_recipes_ = jnp.asarray(deadend_recipes)
+        crate_contents_ = jnp.asarray(crate_contents)
+        deltas_ = jnp.asarray(deltas)
+        turn_left_, turn_right_ = jnp.asarray(turn_left), jnp.asarray(turn_right)
+
         action = jnp.asarray(action, dtype=jnp.int32)
-        op = action_op[action]
-        arg = action_arg[action]
+        op = action_op_[action]
+        arg = action_arg_[action]
 
         m = state.map
         r, c = state.agent[0], state.agent[1]
         inv = state.inventory
         facing = state.facing
 
-        d = deltas[facing]
+        d = deltas_[facing]
         fr, fc = r + d[0], c + d[1]
         front = m[fr, fc]
 
@@ -164,8 +184,8 @@ def make_step(sp: S.EnvSpec):
 
         is_left = op == S.OP_LEFT
         is_right = op == S.OP_RIGHT
-        new_facing = jnp.where(is_left, turn_left[facing],
-                               jnp.where(is_right, turn_right[facing], facing))
+        new_facing = jnp.where(is_left, turn_left_[facing],
+                               jnp.where(is_right, turn_right_[facing], facing))
 
         # ---------------- Jump (novelty_wrappers.py:1360-1382) -------------
         is_jump = op == S.OP_JUMP
@@ -177,7 +197,7 @@ def make_step(sp: S.EnvSpec):
 
         # ---------------- Break (+ axe / fence / crate folds) --------------
         is_break = op == S.OP_BREAK
-        breakable = (front != 0) & ~unbreakable[front]
+        breakable = (front != 0) & ~unbreakable_[front]
 
         axe_sel = jnp.asarray(False)
         if sp.axe_mode != S.AXE_NONE:
@@ -217,8 +237,8 @@ def make_step(sp: S.EnvSpec):
                                  sp.break_cost * sp.axe_cost_mult,
                                  jnp.float32(sp.break_cost))
         else:
-            brk_reward = break_reward[front]
-            byield = break_yield[front]
+            brk_reward = break_reward_[front]
+            byield = break_yield_[front]
             brk_cost = jnp.float32(sp.break_cost)
 
         # Crate novelty adds contents whenever Break targets a crate, before the
@@ -259,9 +279,9 @@ def make_step(sp: S.EnvSpec):
         # ---------------- Craft (pogostick_v1_env.py:413-474 + legacy) -----
         is_craft = op == S.OP_CRAFT
         rec = jnp.clip(arg, 0, R - 1)
-        need = recipes_in[rec]
+        need = recipes_in_[rec]
         have_all = jnp.all(inv >= need)
-        multi = recipe_multi[rec]
+        multi = recipe_multi_[rec]
         at_table = front == sp.crafting_table_id
         if sp.craft_variant == S.CRAFT_MODERN:
             craft_missing = ~have_all
@@ -276,7 +296,7 @@ def make_step(sp: S.EnvSpec):
 
         if sp.craft_nag == S.NAG_V2:
             # plank count checked AFTER consumption (novel_gridworld_v2_env.py:306-323)
-            plank_after = inv[plank_i] + recipes_out[rec][plank_i] - need[plank_i]
+            plank_after = inv[plank_i] + recipes_out_[rec][plank_i] - need[plank_i]
             nag = (rec == stick_r) & (plank_after < 8)
         elif sp.craft_nag == S.NAG_V4:
             nag = ((rec == stick_r) & (inv[plank_i] < 8)) | \
@@ -306,7 +326,7 @@ def make_step(sp: S.EnvSpec):
         gain_break = jnp.where(is_break & break_ok, byield,
                                jnp.where(is_chop & chop_ok, 2, 0))
         inv_delta = inv_delta.at[front].add(gain_break)
-        inv_delta = inv_delta + jnp.where(crate_add, crate_contents, 0)
+        inv_delta = inv_delta + jnp.where(crate_add, crate_contents_, 0)
         inv_delta = inv_delta.at[arg].add(
             jnp.where(is_place & place_ok, -1, 0))
         inv_delta = inv_delta.at[rubber_i].add(
@@ -317,7 +337,7 @@ def make_step(sp: S.EnvSpec):
                 jnp.where(is_exs & exs_ok, sp.extract_amount, 0))
         inv_delta = inv_delta.at[tap_i].add(jnp.where(is_fused & fused_place, -1, 0))
         inv_delta = inv_delta + jnp.where(is_craft & craft_ok,
-                                          recipes_out[rec] - need, 0)
+                                          recipes_out_[rec] - need, 0)
         new_inv = inv + inv_delta
 
         # ================= reward / result / cost / message ==================
@@ -391,13 +411,13 @@ def make_step(sp: S.EnvSpec):
         msg = sel(is_select & ~sel_ok, S.MSG_ITEM_NOT_FOUND, msg)
 
         # step costs (zero for legacy envs — their tables are all 0)
-        base_cost = jnp.where(result, cost_ok[action], cost_fail[action])
+        base_cost = jnp.where(result, cost_ok_[action], cost_fail_[action])
         cost = base_cost
         cost = sel(is_break, brk_cost, cost)
         if sp.n_recipes:
-            craft_cost = jnp.where(craft_ok, ccost_ok[rec],
-                                   jnp.where(craft_notable, ccost_notable[rec],
-                                             ccost_missing[rec]))
+            craft_cost = jnp.where(craft_ok, ccost_ok_[rec],
+                                   jnp.where(craft_notable, ccost_notable_[rec],
+                                             ccost_missing_[rec]))
             cost = sel(is_craft, craft_cost, cost)
 
         # FenceRestriction tail-override quirk: allowed breaks report
@@ -417,14 +437,14 @@ def make_step(sp: S.EnvSpec):
         nr, nc = new_agent[0], new_agent[1]
         if sp.grab_entities_enabled and bool(sp.entity_mask.any()):
             win = jax.lax.dynamic_slice(new_map, (nr - 1, nc - 1), (3, 3))
-            grab = entity_mask[win]
+            grab = entity_mask_[win]
             onehot = (win[..., None] == jnp.arange(I)) & grab[..., None]
             new_inv = new_inv + jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)
             new_map = jax.lax.dynamic_update_slice(
                 new_map, jnp.where(grab, 0, win), (nr - 1, nc - 1))
 
         # block-in-front AFTER the action (pogostick_v1_env.py:352)
-        d2 = deltas[new_facing]
+        d2 = deltas_[new_facing]
         front_after = new_map[new_agent[0] + d2[0], new_agent[1] + d2[1]]
 
         goal_met = _goal_check(sp, new_inv, front_after)
@@ -433,8 +453,8 @@ def make_step(sp: S.EnvSpec):
 
         # dead-end termination (novel_gridworld_v2_env.py:263-266)
         if bool(sp.deadend_recipes.any()):
-            craftable = jnp.all(new_inv[None, :] >= recipes_in, axis=1)
-            deadend = ~jnp.any(craftable & deadend_recipes)
+            craftable = jnp.all(new_inv[None, :] >= recipes_in_, axis=1)
+            deadend = ~jnp.any(craftable & deadend_recipes_)
             done = done | (~goal_met & deadend)
 
         # firewall death — post-everything override (novelty_wrappers.py:1171-1189)

@@ -88,10 +88,10 @@ def make_lidar_fn(sp: S.EnvSpec):
                 slot_of_item[i] = lidar_sorted.index(name)
         fill = 0
 
-    table_j = jnp.asarray(table)
-    slots_j = jnp.asarray(slot_of_item)
-
     def lidar(m, agent, facing):
+        # host tables embedded as constants at trace time
+        table_j = jnp.asarray(table)
+        slots_j = jnp.asarray(slot_of_item)
         off = table_j[facing]                          # [B, D, 2]
         rr = jnp.clip(agent[0] + off[..., 0], 0, H - 1)
         cc = jnp.clip(agent[1] + off[..., 1], 0, H - 1)

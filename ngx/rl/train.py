@@ -1,0 +1,220 @@
+"""PPO training: one jitted (rollout → GAE → update) step, env-sharded.
+
+Algorithmic surface mirrors what the reference trains with (SB2 PPO2 defaults,
+reference ``tests/train.py:122,135``: clipped surrogate, GAE, minibatch
+epochs); the execution model is TPU-native: the T×B rollout is a ``lax.scan``
+over the batched env (no host in the loop), the update runs on the same chip,
+and everything jits once over a ``Mesh`` with the env axis sharded — the
+partitioner inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import spec as S
+from ..transforms import lidar_in_front
+from ..vector import make_vec
+from .models import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    env_id: str = "NovelGridworld-Pogostick-v1"
+    num_envs: int = 1024
+    rollout_steps: int = 64
+    epochs: int = 4
+    num_minibatches: int = 8
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 2.5e-4
+    max_grad_norm: float = 0.5
+    hidden: tuple = (64, 64)
+    episode_cap: int = 100      # reference eval cap (enjoy.py:87,107)
+
+
+def _flat_obs(spec):
+    """Policy observations: the LidarInFront vector (what the reference
+    trains SB2 on) as float32."""
+    assert spec.obs_mode == S.OBS_LIDAR_FRONT, \
+        "apply ngx.transforms.lidar_in_front to the spec first"
+
+
+def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None):
+    """Returns (init_fn, train_step_fn).
+
+    init_fn(key) -> (train_state, env_state, obs)
+    train_step_fn(carry, key) -> (carry, metrics)  — one rollout+update cycle,
+    fully jitted; carry = (train_state, env_state, last_obs).
+    """
+    spec = lidar_in_front(__import__("ngx").make_spec(cfg.env_id))
+    vec = make_vec(spec)
+    model = ActorCritic(n_actions=spec.n_actions, hidden=cfg.hidden)
+
+    B, T = cfg.num_envs, cfg.rollout_steps
+    batch_shard = (NamedSharding(mesh, P("env")) if mesh is not None else None)
+
+    def init(key):
+        k_env, k_net = jax.random.split(key)
+        keys = jax.random.split(k_env, B)
+        if batch_shard is not None:
+            keys = jax.device_put(keys, batch_shard)
+        env_state, obs = jax.jit(vec.reset)(keys)
+        params = model.init(k_net, jnp.zeros_like(obs, jnp.float32))
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=1e-5),
+        )
+        ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        return ts, env_state, obs
+
+    def policy_step(params, env_state, obs, key):
+        k_act, k_reset = jax.random.split(key)
+        logits, value = model.apply(params, obs.astype(jnp.float32))
+        action = jax.random.categorical(k_act, logits)
+        logp = jax.nn.log_softmax(logits)[jnp.arange(B), action]
+        env_state, next_obs, reward, done, info = vec.step(
+            env_state, action, jax.random.split(k_reset, B))
+        # episode cap (time-limit truncation, reference enjoy.py:87):
+        # auto-reset envs that exceed the cap; treated as done for GAE
+        capped = env_state.step_count >= cfg.episode_cap
+        fresh, fresh_obs = vec.reset(jax.random.split(
+            jax.random.fold_in(k_reset, 1), B))
+        env_state = jax.tree_util.tree_map(
+            lambda f, n: jnp.where(
+                capped.reshape(capped.shape + (1,) * (n.ndim - 1)), f, n),
+            fresh, env_state)
+        done = done | capped
+        return env_state, next_obs, action, logp, value, reward, done
+
+    def rollout(params, env_state, obs, key):
+        def body(carry, key_t):
+            env_state, obs = carry
+            (env_state, next_obs, action, logp, value, reward, done
+             ) = policy_step(params, env_state, obs, key_t)
+            out = (obs, action, logp, value, reward, done)
+            return (env_state, next_obs), out
+
+        (env_state, last_obs), traj = jax.lax.scan(
+            body, (env_state, obs), jax.random.split(key, T))
+        return env_state, last_obs, traj
+
+    def gae(values, rewards, dones, last_value):
+        def body(carry, xs):
+            adv_next, v_next = carry
+            v, r, d = xs
+            nonterm = 1.0 - d.astype(jnp.float32)
+            delta = r + cfg.gamma * v_next * nonterm - v
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+            return (adv, v), adv
+
+        (_, _), advs = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (values, rewards, dones), reverse=True)
+        return advs, advs + values
+
+    def loss_fn(params, obs, action, old_logp, adv, target):
+        logits, value = model.apply(params, obs.astype(jnp.float32))
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
+        ratio = jnp.exp(logp - old_logp)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_n
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - target).mean()
+        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    def update(ts: TrainState, batch, key):
+        obs, action, logp, adv, target = batch
+        N = obs.shape[0]
+        mb = N // cfg.num_minibatches
+
+        def epoch(ts, key_e):
+            perm = jax.random.permutation(key_e, N)
+
+            def minibatch(ts, idx):
+                sl = jax.tree_util.tree_map(
+                    lambda x: x[idx],
+                    (obs, action, logp, adv, target))
+                grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, *sl)
+                return ts.apply_gradients(grads=grads), aux
+
+            idxs = perm[:mb * cfg.num_minibatches].reshape(
+                cfg.num_minibatches, mb)
+            ts, aux = jax.lax.scan(minibatch, ts, idxs)
+            return ts, aux
+
+        ts, aux = jax.lax.scan(epoch, ts, jax.random.split(key, cfg.epochs))
+        return ts, aux
+
+    def train_step(carry, key):
+        ts, env_state, obs = carry
+        k_roll, k_upd = jax.random.split(key)
+        env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
+            rollout(ts.params, env_state, obs, k_roll)
+        _, last_value = model.apply(ts.params, last_obs.astype(jnp.float32))
+        adv, target = gae(value, reward, done, last_value)
+
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((T * B,) + x.shape[2:]),
+            (obs_t, action, logp, adv, target))
+        ts, (pg, vl, ent) = update(ts, flat, k_upd)
+        metrics = {
+            "mean_reward": reward.mean(),
+            "episodes": done.sum(),
+            "pg_loss": pg.mean(),
+            "v_loss": vl.mean(),
+            "entropy": ent.mean(),
+        }
+        return (ts, env_state, last_obs), metrics
+
+    return init, train_step
+
+
+def train(cfg: PPOConfig, num_updates: int, key=None, mesh: Optional[Mesh] = None,
+          log_every: int = 10):
+    """Host loop: init once, then num_updates jitted train steps."""
+    key = jax.random.key(0) if key is None else key
+    init, train_step = make_train(cfg, mesh)
+    carry = init(key)
+    step = jax.jit(train_step)
+    history = []
+    for u in range(num_updates):
+        carry, metrics = step(carry, jax.random.fold_in(key, u + 1))
+        if (u + 1) % log_every == 0 or u == num_updates - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            print(f"update {u+1}: " + " ".join(
+                f"{k}={v:.3f}" for k, v in m.items()))
+    return carry, history
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: build an n_devices mesh, jit the FULL train step with the
+    env axis sharded over it, and run ONE step on tiny shapes."""
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices), ("env",))
+    cfg = PPOConfig(num_envs=4 * n_devices, rollout_steps=4,
+                    num_minibatches=2, epochs=1, hidden=(16, 16))
+    with mesh:
+        init, train_step = make_train(cfg, mesh)
+        carry = init(jax.random.key(0))
+        assert len(carry[1].map.sharding.device_set) == n_devices, \
+            "env state not sharded over the mesh"
+        carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
+        jax.block_until_ready(metrics["mean_reward"])

@@ -1,0 +1,131 @@
+"""Batched-engine tests: vmap consistency, auto-reset, scan rollouts, and
+mesh sharding over the 8 virtual CPU devices (conftest forces
+--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import ngx
+from ngx.parallel import (episode_metrics, make_env_mesh, make_sharded_vec,
+                          sharded_throughput_fn)
+from ngx.vector import make_vec, throughput_fn
+
+POGO = "NovelGridworld-Pogostick-v1"
+
+
+def test_vmap_matches_single():
+    """Batched step must equal per-env single steps exactly."""
+    spec = ngx.make_spec(POGO)
+    vec = make_vec(spec)
+    single_step = jax.jit(ngx.make_step(spec))
+    single_reset = jax.jit(ngx.make_reset(spec))
+
+    B = 16
+    keys = jax.random.split(jax.random.key(0), B)
+    state, obs = jax.jit(vec.reset)(keys)
+
+    rng = np.random.RandomState(0)
+    actions = jnp.asarray(rng.randint(spec.n_actions, size=(B,)))
+    reset_keys = jax.random.split(jax.random.key(1), B)
+    new_state, obs_b, r_b, d_b, info_b = jax.jit(vec.step)(
+        state, actions, reset_keys)
+
+    for i in range(B):
+        s_i = jax.tree_util.tree_map(lambda x: x[i], state)
+        ns_i, obs_i, r_i, d_i, info_i = single_step(s_i, actions[i])
+        assert float(r_i) == float(r_b[i])
+        assert bool(d_i) == bool(d_b[i])
+        np.testing.assert_array_equal(np.asarray(obs_i["map"]),
+                                      np.asarray(obs_b["map"][i]))
+        if not bool(d_i):  # un-done envs carry the stepped state
+            np.testing.assert_array_equal(np.asarray(ns_i.map),
+                                          np.asarray(new_state.map[i]))
+
+
+def test_auto_reset():
+    """A done env's carried state must be a fresh reset draw."""
+    spec = ngx.make_spec("NovelGridworld-v0")  # goal: face crafting_table
+    vec = make_vec(spec)
+    B = 64
+    state, _ = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    # force: all agents already face the table somewhere? Instead run many
+    # random steps; with 64 envs and the trivial v0 goal some env finishes.
+    saw_done = False
+    key = jax.random.key(1)
+    step = jax.jit(vec.step)
+    for t in range(100):
+        key, k_act, k_reset = jax.random.split(key, 3)
+        actions = jax.random.randint(k_act, (B,), 0, spec.n_actions)
+        state, obs, r, done, info = step(
+            state, actions, jax.random.split(k_reset, B))
+        if bool(done.any()):
+            saw_done = True
+            i = int(jnp.argmax(done))
+            # carried state was auto-reset: fresh episode bookkeeping
+            assert int(state.step_count[i]) == 0
+            assert not bool(state.last_done[i])
+            break
+    assert saw_done, "no episode finished in 100 random steps of 64 v0 envs"
+
+
+def test_scan_rollout_shapes_and_finiteness():
+    spec = ngx.make_spec(POGO)
+    vec = make_vec(spec)
+    B, T = 32, 50
+    state, _ = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    state, traj = jax.jit(vec.rollout, static_argnums=(2, 3))(
+        state, jax.random.key(1), None, T)
+    assert traj.rewards.shape == (T, B)
+    assert traj.dones.shape == (T, B)
+    assert traj.actions.shape == (T, B)
+    assert np.isfinite(np.asarray(traj.rewards)).all()
+    m = episode_metrics(traj)
+    assert float(m["mean_reward"]) < 0  # random policy loses on average
+
+
+def test_sharded_vec_on_8_devices():
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    mesh = make_env_mesh()
+    spec = ngx.make_spec(POGO)
+    svec = make_sharded_vec(spec, mesh)
+    B = 64
+    keys = jax.device_put(jax.random.split(jax.random.key(0), B),
+                          NamedSharding(mesh, P("env")))
+    state, obs = svec.reset(keys)
+    # state leaves are actually sharded over all 8 devices
+    assert len(state.map.sharding.device_set) == 8
+    actions = jnp.zeros((B,), jnp.int32)
+    state2, obs2, r, d, info = svec.step(
+        state, actions, jax.random.split(jax.random.key(1), B))
+    assert len(state2.map.sharding.device_set) == 8
+    assert r.shape == (B,)
+
+    # sharded result == unsharded result for the same inputs
+    vec = make_vec(spec)
+    state_u, _ = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    np.testing.assert_array_equal(np.asarray(state.map), np.asarray(state_u.map))
+    s2u, _, ru, du, _ = jax.jit(vec.step)(
+        state_u, actions, jax.random.split(jax.random.key(1), B))
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(ru))
+    np.testing.assert_array_equal(np.asarray(state2.map), np.asarray(s2u.map))
+
+
+def test_sharded_throughput_fn():
+    mesh = make_env_mesh()
+    spec = ngx.make_spec(POGO)
+    run = sharded_throughput_fn(spec, mesh, batch=64, steps=20)
+    state, mean_r, n_done = run(jax.random.key(0))
+    assert np.isfinite(float(mean_r))
+    assert len(state.map.sharding.device_set) == 8
+
+
+def test_throughput_fn_single():
+    spec = ngx.make_spec(POGO)
+    run = throughput_fn(spec, batch=128, steps=10)
+    state, mean_r = run(jax.random.key(0))
+    assert state.map.shape == (128, 10, 10)
+    assert np.isfinite(float(mean_r))
