@@ -1,0 +1,373 @@
+"""The Gym-classic env facade (single env over the jitted kernel).
+
+Mirrors the attribute and method surface of the reference env classes
+(``pogostick_v1_env.py:26-84`` and the legacy template) so reference driver
+code ports with an import change.  Resets replay the reference's exact
+``np.random`` draw sequence via :mod:`ngx.core.mirror` (so a user who seeds
+``np.random.seed(s)`` gets byte-identical maps); set ``reset_mode='native'``
+for the jax-random reset used by the batched/TPU path.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from ..core import spec as S
+from ..core.mirror import mirror_reset
+from ..core.reset import make_reset
+from ..core.state import EnvState, state_from_numpy
+from ..core.step import make_step
+from ..core.spec import DIRECTION_NAMES, FACING_DELTAS
+from ..presets import make_spec
+from .messages import decode_message
+from .spaces import Box, Dict, Discrete
+
+_KERNEL_CACHE = {}
+
+
+def _kernels(spec):
+    key = spec.key
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = (jax.jit(make_step(spec)),
+                              jax.jit(make_reset(spec)))
+    return _KERNEL_CACHE[key]
+
+
+class NGXEnv:
+    """Single-environment facade with the reference's API surface."""
+
+    metadata = {"render.modes": ["human", "rgb_array"]}
+
+    def __init__(self, spec, env: Optional["NGXEnv"] = None,
+                 reset_mode: str = "mirror", seed: Optional[int] = None):
+        self._spec = spec
+        self.env = env              # restore-chaining (pogostick_v1_env.py:29)
+        self.reset_mode = reset_mode
+        self._key = jax.random.key(0 if seed is None else seed)
+        self._step, self._reset = _kernels(spec)
+        self._state: Optional[EnvState] = None
+        self._prev_inventory = None
+        self._renderer = None
+        self.last_action = 0
+        self.last_step_cost = 0.0
+
+    # -- identity / static tables ------------------------------------------
+    @property
+    def spec(self):
+        return self._spec
+
+    @property
+    def env_id(self):
+        return self._spec.env_id
+
+    env_name = env_id
+
+    @property
+    def map_size(self):
+        return self._spec.map_size
+
+    @property
+    def items(self):
+        return set(self._spec.items) - ({"air"} if not self._modern else set())
+
+    @property
+    def _modern(self):
+        return self._spec.obs_mode in (S.OBS_DICT, S.OBS_LIDAR_FRONT,
+                                       S.OBS_AGENT_MAP)
+
+    @property
+    def items_id(self):
+        d = self._spec.items_id
+        if not self._modern:
+            d = {k: v for k, v in d.items() if k != "air"}
+        return d
+
+    @property
+    def actions_id(self):
+        return self._spec.actions_id
+
+    @property
+    def action_str(self):
+        return {i: n for i, n in enumerate(self._spec.actions)}
+
+    @property
+    def manipulation_actions_id(self):
+        ops = np.asarray(self._spec.action_op)
+        return {n: i for i, n in enumerate(self._spec.actions)
+                if ops[i] not in (S.OP_CRAFT, S.OP_SELECT)}
+
+    @property
+    def craft_actions_id(self):
+        return {n: i for i, n in enumerate(self._spec.actions)
+                if n.startswith("Craft")}
+
+    @property
+    def select_actions_id(self):
+        return {n: i for i, n in enumerate(self._spec.actions)
+                if n.startswith("Select")}
+
+    @property
+    def recipes(self):
+        sp = self._spec
+        out = {}
+        for r, name in enumerate(sp.recipe_names):
+            out[name] = {
+                "input": {it: int(sp.recipes_in[r][sp.items.index(it)])
+                          for it in sp.recipe_input_order[r]},
+                "output": {sp.items[i]: int(q)
+                           for i, q in enumerate(sp.recipes_out[r]) if q},
+            }
+        return out
+
+    @property
+    def items_quantity(self):
+        sp = self._spec
+        return {sp.items[i]: int(q)
+                for i, q in zip(sp.spawn_items, sp.spawn_qty)}
+
+    @property
+    def unbreakable_items(self):
+        return {n for i, n in enumerate(self._spec.items)
+                if self._spec.unbreakable[i]}
+
+    @property
+    def goal_item_to_craft(self):
+        sp = self._spec
+        return sp.items[sp.goal_item] if sp.goal_item >= 0 else ""
+
+    @property
+    def reward_intermediate(self):
+        return self._spec.reward_intermediate
+
+    @property
+    def reward_done(self):
+        return self._spec.reward_done
+
+    @property
+    def entities(self):
+        return {n for i, n in enumerate(self._spec.items)
+                if self._spec.entity_mask[i]}
+
+    @property
+    def action_space(self):
+        return Discrete(self._spec.n_actions)
+
+    @property
+    def observation_space(self):
+        sp = self._spec
+        H = sp.map_size
+        if sp.obs_mode == S.OBS_DICT:
+            return Dict({"map": Box(0, 20, (H, H, 1))})
+        if sp.obs_mode == S.OBS_AGENT_MAP:
+            return Dict({"agent_map": Box(0, 20, (5, 5, 1))})
+        obs = self.get_observation()
+        return Box(np.zeros_like(obs), np.full_like(obs, 40))
+
+    # -- dynamic state (host views of the device state) ---------------------
+    def _np(self, x):
+        return np.asarray(x)
+
+    @property
+    def map(self):
+        return self._np(self._state.map)
+
+    @property
+    def agent_location(self):
+        return tuple(int(v) for v in self._np(self._state.agent))
+
+    @property
+    def agent_facing_id(self):
+        return int(self._state.facing)
+
+    @property
+    def agent_facing_str(self):
+        return DIRECTION_NAMES[self.agent_facing_id]
+
+    @property
+    def inventory_items_quantity(self):
+        inv = self._np(self._state.inventory)
+        items = self._spec.items if self._modern else self._spec.items[1:]
+        off = 0 if self._modern else 1
+        return {n: int(inv[i + off]) for i, n in enumerate(items)}
+
+    @property
+    def selected_item(self):
+        s = int(self._state.selected)
+        return self._spec.items[s] if s >= 0 else ""
+
+    @property
+    def step_count(self):
+        return int(self._state.step_count)
+
+    @property
+    def last_reward(self):
+        return float(self._state.last_reward)
+
+    @property
+    def last_done(self):
+        return bool(self._state.last_done)
+
+    @property
+    def block_in_front_location(self):
+        r, c = self.agent_location
+        d = FACING_DELTAS[self.agent_facing_id]
+        return (r + int(d[0]), c + int(d[1]))
+
+    @property
+    def block_in_front_id(self):
+        fr, fc = self.block_in_front_location
+        return int(self.map[fr][fc])
+
+    @property
+    def block_in_front_str(self):
+        return self._spec.items[self.block_in_front_id]
+
+    def update_block_in_front(self):  # API parity; views are always live
+        pass
+
+    # -- core API -----------------------------------------------------------
+    def seed(self, seed=None):
+        if seed is not None:
+            np.random.seed(seed)
+            self._key = jax.random.key(seed)
+        return [seed]
+
+    def set_state(self, state: EnvState):
+        self._state = state
+
+    def get_state(self) -> EnvState:
+        return self._state
+
+    def reset(self, map_size=None, items_id=None, items_quantity=None):
+        sp = self._spec
+        if map_size is not None and map_size != sp.map_size:
+            sp = sp.replace(map_size=map_size)
+            self._spec = sp
+            self._step, self._reset = _kernels(sp)
+        if items_quantity is not None:
+            spawn = [(sp.items.index(n), q) for n, q in items_quantity.items()]
+            sp = sp.replace(
+                spawn_items=np.asarray([i for i, _ in spawn], np.int32),
+                spawn_qty=np.asarray([q for _, q in spawn], np.int32))
+            self._spec = sp
+            self._step, self._reset = _kernels(sp)
+
+        if self.env is not None and self.env._state is not None:
+            # restore-chaining: adopt the previous env's terminal state
+            # (pogostick_v1_env.py:89-109) — mapped by item NAME so chained
+            # envs with different item tables stay consistent
+            prev = self.env
+            remap = np.zeros((prev._spec.n_items,), np.int64)
+            for i, n in enumerate(prev._spec.items):
+                remap[i] = sp.items.index(n) if n in sp.items else 0
+            m = remap[prev.map]
+            inv = np.zeros((sp.n_items,), np.int64)
+            for n, q in prev.inventory_items_quantity.items():
+                if n in sp.items:
+                    inv[sp.items.index(n)] = q
+            self._state = state_from_numpy(
+                sp, m, prev.agent_location, prev.agent_facing_id, inv,
+                selected=(sp.items.index(prev.selected_item)
+                          if prev.selected_item else -1),
+                step_count=prev.step_count,
+                last_reward=prev.last_reward, last_done=prev.last_done)
+            print("RESTORING LAST ENV ...")
+        elif self.reset_mode == "mirror":
+            self._state = mirror_reset(sp)
+        else:
+            self._key, k = jax.random.split(self._key)
+            self._state, _ = self._reset(k)
+
+        self._prev_inventory = np.asarray(self._state.inventory)
+        self.last_action = 0
+        self.last_step_cost = 0.0
+        return self.get_observation()
+
+    def step(self, action_id: int):
+        sp = self._spec
+        if not 0 <= int(action_id) < sp.n_actions:
+            raise AssertionError(
+                f"action_id {action_id} not in Discrete({sp.n_actions})")
+        prev_inv = np.asarray(self._state.inventory)
+        state, obs, reward, done, info = self._step(self._state,
+                                                    int(action_id))
+        self._state = state
+        self._prev_inventory = prev_inv
+        self.last_action = sp.actions[int(action_id)]
+        self.last_step_cost = float(info.step_cost)
+        if self._modern:
+            info_d = {
+                "result": bool(info.result),
+                "step_cost": float(info.step_cost),
+                "message": decode_message(sp, info.msg_code, info.msg_arg,
+                                          prev_inv),
+            }
+        else:
+            info_d = {}
+        return (self._decode_obs(obs), float(reward), bool(done), info_d)
+
+    def get_observation(self):
+        if self._state is None:
+            raise RuntimeError("reset() the env first")
+        step = make_step(self._spec)  # get_obs is attached, cheap (no jit)
+        return self._decode_obs(step.get_obs(self._state))
+
+    def _decode_obs(self, obs):
+        sp = self._spec
+        if sp.obs_mode == S.OBS_DICT:
+            return {
+                "map": np.asarray(obs["map"]),
+                "agent_location": tuple(int(v) for v in np.asarray(obs["agent_location"])),
+                "agent_facing_id": int(obs["agent_facing_id"]),
+                "inventory_items_quantity": {
+                    n: int(np.asarray(obs["inventory_items_quantity"])[i])
+                    for i, n in enumerate(sp.items)},
+            }
+        if sp.obs_mode == S.OBS_AGENT_MAP:
+            return {
+                "agent_map": np.asarray(obs["agent_map"]),
+                "agent_facing_id": int(obs["agent_facing_id"]),
+                "inventory_items_quantity": {
+                    n: int(np.asarray(obs["inventory_items_quantity"])[i])
+                    for i, n in enumerate(sp.items)},
+            }
+        return np.asarray(obs)
+
+    # -- mutation hooks (novelty / driver parity) ---------------------------
+    def set_agent_location(self, r, c):
+        self._state = self._state.replace(
+            agent=np.asarray([r, c], np.int32))
+
+    def set_agent_facing(self, direction_str):
+        self._state = self._state.replace(
+            facing=np.int32(DIRECTION_NAMES.index(direction_str)))
+
+    def remap_action(self):
+        from ..transforms.actions import remap_actions
+        self._spec = remap_actions(self._spec, "hard")
+        self._step, self._reset = _kernels(self._spec)
+        return self._spec.actions_id
+
+    # -- rendering ----------------------------------------------------------
+    def render(self, mode="human", title=None):
+        from .render import render_env
+        return render_env(self, mode=mode, title=title)
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+
+    def __repr__(self):
+        return f"<NGXEnv {self.env_id} ({'modern' if self._modern else 'legacy'})>"
+
+
+def make(env_id: str, env: Optional[NGXEnv] = None, map_size: int = 10,
+         reset_mode: str = "mirror", seed: Optional[int] = None) -> NGXEnv:
+    """``gym.make``-alike over the 11 presets (reference __init__.py:7-60)."""
+    return NGXEnv(make_spec(env_id, map_size=map_size), env=env,
+                  reset_mode=reset_mode, seed=seed)

@@ -1,0 +1,110 @@
+"""Reference-named wrappers and novelty injection for the facade.
+
+Each "wrapper" returns a fresh :class:`NGXEnv` whose spec was rewritten by the
+corresponding pure transform — the reference's class names and call shapes
+(``wrappers.py``, ``observation_wrappers.py``, ``novelty_wrappers.py:1586``)
+kept so driver code ports mechanically.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from datetime import datetime
+
+import numpy as np
+
+from ..core.mirror import mirror_reset
+from ..novelty import inject_novelty as spec_inject
+from ..transforms import actions as T_actions
+from ..transforms import observations as T_obs
+from .env import NGXEnv
+
+
+def _rewrap(env: NGXEnv, spec) -> NGXEnv:
+    new = NGXEnv(spec, env=env.env, reset_mode=env.reset_mode)
+    new._key = env._key
+    if env._state is not None and spec.n_items == env._spec.n_items:
+        new._state = env._state
+    return new
+
+
+def LidarInFront(env: NGXEnv, num_beams: int = 8) -> NGXEnv:
+    return _rewrap(env, T_obs.lidar_in_front(env._spec, num_beams))
+
+
+def AgentMap(env: NGXEnv) -> NGXEnv:
+    return _rewrap(env, T_obs.agent_map(env._spec))
+
+
+def LimitActions(env: NGXEnv, limited_actions) -> NGXEnv:
+    new = _rewrap(env, T_actions.limit_actions(env._spec, limited_actions))
+    # reference attribute used by novelties/drivers (wrappers.py:66-67)
+    new.limited_actions_id = new._spec.actions_id
+    return new
+
+
+def inject_novelty(env: NGXEnv, novelty_name: str, difficulty: str = "hard",
+                   novelty_arg1: str = "", novelty_arg2: str = "") -> NGXEnv:
+    """Reference entry point (novelty_wrappers.py:1586-1674).  In mirror
+    mode the construction-time RNG side effects are replayed too: AxeMedium /
+    AxetoBreakMedium / AxeHard-iron call add_new_items which resets the env
+    during wrapper construction (novelty_wrappers.py:129,552,249), consuming
+    np.random draws."""
+    spec = spec_inject(env._spec, novelty_name, difficulty, novelty_arg1,
+                       novelty_arg2)
+    new = _rewrap(env, spec)
+    new._state = None  # novelty wrap requires a fresh reset, as in reference
+    if env.reset_mode == "mirror":
+        construction_resets = (
+            (novelty_name in ("axe", "axetobreak") and difficulty == "medium")
+            or (novelty_name == "axe" and difficulty == "hard"
+                and novelty_arg1 == "iron"))
+        if construction_resets:
+            mirror_reset(spec)  # throwaway draw, keeps np.random in sync
+    return new
+
+
+class SaveTrajectories:
+    """Per-step full-state recording (wrappers.py:9-54), pickle-compatible."""
+
+    def __init__(self, env: NGXEnv, save_path: str):
+        self.env = env
+        self.save_path = save_path
+        os.makedirs(save_path, exist_ok=True)
+        self.state_trajectories = []
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, **kw):
+        return self.env.reset(**kw)
+
+    def step(self, action_id):
+        out = self.env.step(action_id)
+        self.state_trajectories.append(self.get_state())
+        return out
+
+    def get_state(self):
+        e = self.env
+        return {"map_size": e.map_size,
+                "map": e.map,
+                "agent_location": e.agent_location,
+                "agent_facing_str": e.agent_facing_str,
+                "block_in_front_id": e.block_in_front_id,
+                "items_id": e.items_id,
+                "items_quantity": e.items_quantity,
+                "inventory_items_quantity": e.inventory_items_quantity,
+                "action_str": e.actions_id,
+                "last_action": e.last_action,
+                "last_done": e.last_done}
+
+    def save(self):
+        path = os.path.join(
+            self.save_path,
+            datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+            + "_{env}.bin".format(env=self.env.env_id))
+        with open(path, "wb") as f:
+            pickle.dump(self.state_trajectories, f)
+        print("Trajectories saved at: ", path)
+        return path
