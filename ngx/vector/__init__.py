@@ -57,11 +57,19 @@ def make_vec(spec) -> VecEnv:
 
     def step(state: EnvState, actions, keys):
         new_state, obs, reward, done, info = v_step(state, actions)
-        fresh_state, _ = v_reset(keys)
-        carried = jax.tree_util.tree_map(
-            lambda f, n: jnp.where(
-                done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
-            fresh_state, new_state)
+
+        def with_resets(ns):
+            fresh_state, _ = v_reset(keys)
+            return jax.tree_util.tree_map(
+                lambda f, n: jnp.where(
+                    done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
+                fresh_state, ns)
+
+        # Fresh resets are ~5x the cost of a step; only pay for them on steps
+        # where at least one env actually finished (lax.cond keeps the branch
+        # out of the common path — episodes are 100+ steps long).
+        carried = jax.lax.cond(jnp.any(done), with_resets, lambda ns: ns,
+                               new_state)
         return carried, obs, reward, done, info
 
     def rollout(state: EnvState, key, policy, T: int):
@@ -90,16 +98,43 @@ def make_vec(spec) -> VecEnv:
 
 def throughput_fn(spec, batch: int, steps: int):
     """One fused jit computing ``steps`` batched random-action steps — the
-    benchmark kernel (BASELINE.json's env-steps/s/chip metric).  Returns a
-    function key -> (final_state, mean_reward) so nothing escapes the device
-    until the final scalar."""
-    vec = make_vec(spec)
+    benchmark kernel (BASELINE.json's env-steps/s/chip metric).
+
+    Unlike :func:`make_vec`'s trajectory rollout this stores nothing per step
+    (no T×B obs stacking — that alone is ~1 GB of HBM writes at 8192×256):
+    the scan carry is just the state plus running reward/done accumulators,
+    so the whole rollout stays compute-bound."""
+    single_reset = make_reset(spec)
+    single_step = make_step(spec)
+    v_reset = jax.vmap(single_reset)
+    v_step = jax.vmap(single_step)
+    n_actions = spec.n_actions
 
     @jax.jit
     def run(key):
         k0, k1 = jax.random.split(key)
-        state, _ = vec.reset(jax.random.split(k0, batch))
-        state, traj = vec.rollout(state, k1, None, steps)
-        return state, traj.rewards.mean()
+        state, _ = v_reset(jax.random.split(k0, batch))
+
+        def body(carry, key_t):
+            state, r_sum, d_sum = carry
+            k_act, k_reset = jax.random.split(key_t)
+            actions = jax.random.randint(k_act, (batch,), 0, n_actions)
+            new_state, _, reward, done, _ = v_step(state, actions)
+
+            def with_resets(ns):
+                fresh, _ = v_reset(jax.random.split(k_reset, batch))
+                return jax.tree_util.tree_map(
+                    lambda f, n: jnp.where(
+                        done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
+                    fresh, ns)
+
+            state = jax.lax.cond(jnp.any(done), with_resets, lambda ns: ns,
+                                 new_state)
+            return (state, r_sum + reward.sum(), d_sum + done.sum()), None
+
+        init = (state, jnp.float32(0), jnp.int32(0))
+        (state, r_sum, d_sum), _ = jax.lax.scan(
+            body, init, jax.random.split(k1, steps))
+        return state, r_sum / (batch * steps)
 
     return run

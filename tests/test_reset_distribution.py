@@ -1,0 +1,68 @@
+"""Distributional equivalence of the native jax reset vs the reference's
+rejection-loop reset (mirrored host-side).
+
+The native reset replaces the pop-regardless rejection loop with one uniform
+draw over currently-valid cells per placement (see ngx/core/reset.py); these
+are provably the same distribution, and this test checks it empirically:
+per-cell item-occupancy frequencies over many resets must agree within
+Monte-Carlo tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import ngx
+from ngx.core.mirror import mirror_reset
+
+POGO = "NovelGridworld-Pogostick-v1"
+
+
+def occupancy(maps, item_id):
+    return (maps == item_id).mean(axis=0)
+
+
+def test_native_reset_matches_mirror_distribution():
+    spec = ngx.make_spec(POGO)
+    n = 4000
+
+    keys = jax.random.split(jax.random.key(0), n)
+    native_states, _ = jax.jit(jax.vmap(ngx.make_reset(spec)))(keys)
+    native_maps = np.asarray(native_states.map)
+
+    rng = np.random.RandomState(0)
+    mirror_maps = np.stack([
+        np.asarray(mirror_reset(spec, rng).map) for _ in range(n)])
+
+    tree = spec.items.index("tree_log")
+    ct = spec.items.index("crafting_table")
+    for item in (tree, ct):
+        a = occupancy(native_maps, item)
+        b = occupancy(mirror_maps, item)
+        # expected per-cell freq ~ qty/36 ≈ 0.14 (tree); MC std ≈ 0.006
+        np.testing.assert_allclose(a, b, atol=0.03,
+                                   err_msg=f"occupancy mismatch item {item}")
+        # support identical: items only inside the 2-margin interior
+        assert (a[(a > 0)].size > 0)
+        outside = np.ones_like(a, dtype=bool)
+        outside[2:-2, 2:-2] = False
+        assert a[outside].sum() == 0 and b[outside].sum() == 0
+
+    # item counts exact in every native reset
+    assert ((native_maps == tree).sum(axis=(1, 2)) == 5).all()
+    assert ((native_maps == ct).sum(axis=(1, 2)) == 1).all()
+    # no two items adjacent at reset (the 4-neighbor-air invariant)
+    for m in native_maps[:200]:
+        occ = m.copy()
+        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0  # ignore walls
+        rs, cs = np.nonzero(occ)
+        for r, c in zip(rs, cs):
+            assert m[r - 1, c] in (0, 8) and m[r + 1, c] in (0, 8)
+            assert m[r, c - 1] in (0, 8) and m[r, c + 1] in (0, 8)
+
+    # agent cell/facing uniform over interior
+    agents = np.asarray(native_states.agent)
+    assert agents.min() >= 2 and agents.max() <= spec.map_size - 3
+    faces = np.bincount(np.asarray(native_states.facing), minlength=4) / n
+    np.testing.assert_allclose(faces, 0.25, atol=0.03)
