@@ -1,0 +1,108 @@
+"""Evaluation driver — the reference's ``enjoy.py`` rebuilt.
+
+    python -m ngx.cli.enjoy -env NovelGridworld-Bow-v0 -episodes 10 \
+        -ckpt agents/bow/best -render
+
+Supports the reference's special v5 curriculum path (enjoy.py:58-100): for
+``-env NovelGridworld-v5`` it chains v1→v2→v3→v4→v5 via state restore, using
+a policy per stage if a -ckpt dir with per-env checkpoints is given, else
+random actions.  Without a checkpoint, actions are random (the reference's
+SB2 .zip checkpoints are TF1 artifacts that can't be loaded here; retrain
+with ngx.cli.train to produce native ones).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_policy(ckpt, spec):
+    import jax
+    import jax.numpy as jnp
+    from ngx.rl.models import ActorCritic
+    from ngx.utils.checkpoint import restore_pytree
+
+    tree = restore_pytree(ckpt)
+    params = tree["params"]
+    n_hidden = tuple(tree.get("config", {}).get("hidden", (64, 64)))
+    model = ActorCritic(n_actions=spec.n_actions, hidden=n_hidden)
+
+    @jax.jit
+    def act(key, obs):
+        logits, _ = model.apply(params, jnp.asarray(obs, jnp.float32))
+        return jax.random.categorical(key, logits)
+
+    return act
+
+
+def run_episodes(env, policy, episodes, cap, render, seed=0):
+    import jax
+    key = jax.random.key(seed)
+    returns = []
+    for ep in range(episodes):
+        np.random.seed(seed + ep)
+        obs = env.reset()
+        total = 0.0
+        for t in range(cap):
+            if policy is None:
+                a = env.action_space.sample()
+            else:
+                key, k = jax.random.split(key)
+                a = int(policy(k, obs))
+            obs, r, done, info = env.step(a)
+            total += r
+            if render:
+                env.render()
+            if done:
+                break
+        returns.append(total)
+        print(f"episode {ep}: return={total:.1f} steps={t+1} "
+              f"done={bool(done)}")
+    print(f"mean return over {episodes} episodes: {np.mean(returns):.2f}")
+    return returns
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-env", default="NovelGridworld-Bow-v0")
+    p.add_argument("-episodes", type=int, default=10)
+    p.add_argument("-episode_cap", type=int, default=100)
+    p.add_argument("-ckpt", default="")
+    p.add_argument("-render", action="store_true")
+    p.add_argument("-num_beams", type=int, default=8)
+    p.add_argument("-seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import ngx.compat as C
+
+    if args.env == "NovelGridworld-v5":
+        # curriculum chain v1..v5 with state restore (enjoy.py:58-100)
+        chain = [f"NovelGridworld-v{i}" for i in range(1, 6)]
+        prev = None
+        for env_id in chain:
+            env = C.make(env_id, env=prev)
+            policy = None
+            stage_ckpt = os.path.join(args.ckpt, env_id) if args.ckpt else ""
+            if stage_ckpt and os.path.exists(stage_ckpt):
+                policy = load_policy(stage_ckpt, env.spec)
+            print(f"--- {env_id} ---")
+            run_episodes(env, policy, 1, args.episode_cap, args.render,
+                         args.seed)
+            prev = env
+        return
+
+    env = C.make(args.env)
+    policy = None
+    if args.ckpt:
+        # trained policies act on the LidarInFront observation
+        env = C.LidarInFront(env, num_beams=args.num_beams)
+        policy = load_policy(args.ckpt, env.spec)
+    run_episodes(env, policy, args.episodes, args.episode_cap, args.render,
+                 args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,14 +52,18 @@ def _flat_obs(spec):
         "apply ngx.transforms.lidar_in_front to the spec first"
 
 
-def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None):
+def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
+               spec_override=None):
     """Returns (init_fn, train_step_fn).
 
-    init_fn(key) -> (train_state, env_state, obs)
+    init_fn(key) -> (train_state, env_state, obs, ep_returns)
     train_step_fn(carry, key) -> (carry, metrics)  — one rollout+update cycle,
-    fully jitted; carry = (train_state, env_state, last_obs).
+    fully jitted.  ``spec_override`` trains on a custom (e.g. novelty-
+    injected) spec instead of the plain preset.
     """
-    spec = lidar_in_front(__import__("ngx").make_spec(cfg.env_id))
+    spec = spec_override or __import__("ngx").make_spec(cfg.env_id)
+    if spec.obs_mode != S.OBS_LIDAR_FRONT:
+        spec = lidar_in_front(spec)
     vec = make_vec(spec)
     model = ActorCritic(n_actions=spec.n_actions, hidden=cfg.hidden)
 
@@ -78,7 +82,8 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None):
             optax.adam(cfg.lr, eps=1e-5),
         )
         ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-        return ts, env_state, obs
+        ep_ret = jnp.zeros((B,), jnp.float32)
+        return ts, env_state, obs, ep_ret
 
     def policy_step(params, env_state, obs, key):
         k_act, k_reset = jax.random.split(key)
@@ -163,12 +168,27 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None):
         return ts, aux
 
     def train_step(carry, key):
-        ts, env_state, obs = carry
+        ts, env_state, obs, ep_ret = carry
         k_roll, k_upd = jax.random.split(key)
         env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
             rollout(ts.params, env_state, obs, k_roll)
         _, last_value = model.apply(ts.params, last_obs.astype(jnp.float32))
         adv, target = gae(value, reward, done, last_value)
+
+        # episode-return bookkeeping (the Monitor analog, on device):
+        # fold the rollout's rewards into per-env running returns, emitting
+        # completed-episode sums at done boundaries
+        def ep_body(carry, xs):
+            run, total, count = carry
+            r, d = xs
+            run = run + r
+            total = total + jnp.where(d, run, 0.0).sum()
+            count = count + d.sum()
+            run = jnp.where(d, 0.0, run)
+            return (run, total, count), None
+
+        (ep_ret, ep_total, ep_count), _ = jax.lax.scan(
+            ep_body, (ep_ret, jnp.float32(0), jnp.int32(0)), (reward, done))
 
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((T * B,) + x.shape[2:]),
@@ -177,11 +197,13 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None):
         metrics = {
             "mean_reward": reward.mean(),
             "episodes": done.sum(),
+            "ep_return_sum": ep_total,
+            "ep_count": ep_count,
             "pg_loss": pg.mean(),
             "v_loss": vl.mean(),
             "entropy": ent.mean(),
         }
-        return (ts, env_state, last_obs), metrics
+        return (ts, env_state, last_obs, ep_ret), metrics
 
     return init, train_step
 
