@@ -91,17 +91,13 @@ def main(argv=None):
             # (RemapActionOnStep, reference tests/train.py:73-89)
             print(f"injecting novelty {args.novelty} at update {inject_update}")
             import ngx
-            from ngx.rl.train import make_train as mk
-            import dataclasses
-            cfg2 = dataclasses.replace(cfg)  # same cfg; spec rebuilt inside
-            # swap env: new spec via inject; re-init env state, keep params
-            from ngx.transforms import lidar_in_front
             spec2 = ngx.inject_novelty(
                 ngx.make_spec(args.env), args.novelty,
                 args.novelty_difficulty, args.novelty_arg1, args.novelty_arg2)
-            # NOTE: changed action/obs dims require a fresh head; reference
-            # keeps training only when dims are unchanged (remapaction).
-            init2, train_step2 = make_train(cfg2, spec_override=spec2)
+            # NOTE: changed action/obs dims require a fresh head; the
+            # reference only continues training when dims are unchanged
+            # (remapaction, tests/train.py:73-89).
+            init2, train_step2 = make_train(cfg, spec_override=spec2)
             carry2 = init2(jax.random.fold_in(key, 999))
             ts = carry[0]
             carry = (ts, carry2[1], carry2[2], carry2[3])

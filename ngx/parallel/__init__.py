@@ -83,6 +83,81 @@ def sharded_throughput_fn(spec, mesh: Mesh, batch: int, steps: int,
     return launch
 
 
+def make_spmd_rollout(spec, mesh: Mesh, batch: int, steps: int,
+                      axis_name: str = ENV_AXIS):
+    """Explicit-SPMD rollout via ``shard_map``: every chip runs its own local
+    scan over ``batch / mesh.size`` envs, and the only cross-chip traffic is
+    the final ``psum`` of the metrics — the pattern to scale the env axis
+    across a pod slice (ICI collectives inserted exactly where written).
+
+    Returns ``launch(key) -> (mean_reward, episodes_done)`` (replicated
+    scalars)."""
+    assert batch % mesh.size == 0, (batch, mesh.size)
+    local_b = batch // mesh.size
+    from ..core.reset import make_reset
+    from ..core.step import make_step
+    import jax.numpy as jnp
+
+    v_step = jax.vmap(make_step(spec))
+    v_reset = jax.vmap(make_reset(spec))
+    n_actions = spec.n_actions
+
+    def _align(tree):
+        """Normalize varying-manual-axes: leaves of a reset state that don't
+        depend on the per-shard keys (e.g. a constant starting inventory) are
+        typed replicated under shard_map; mark everything varying so scan
+        carries and cond branches type-match."""
+        def fix(x):
+            vma = getattr(getattr(x, "aval", None), "vma", frozenset())
+            return x if axis_name in vma else \
+                jax.lax.pcast(x, (axis_name,), to="varying")
+        return jax.tree_util.tree_map(fix, tree)
+
+    def local_rollout(keys):           # keys: [local_b] — this chip's shard
+        state, _ = v_reset(keys)
+        state = _align(state)
+
+        def body(carry, key_t):
+            state, r_sum, d_sum = carry
+            k_act, k_reset = jax.random.split(key_t)
+            actions = jax.random.randint(k_act, (local_b,), 0, n_actions)
+            new_state, _, reward, done, _ = v_step(state, actions)
+
+            def with_resets(ns):
+                fresh, _ = v_reset(jax.random.split(k_reset, local_b))
+                return jax.tree_util.tree_map(
+                    lambda f, n: jnp.where(
+                        done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
+                    fresh, ns)
+
+            state = jax.lax.cond(jnp.any(done),
+                                 lambda ns: _align(with_resets(ns)),
+                                 _align, new_state)
+            return (state, r_sum + reward.sum(), d_sum + done.sum()), None
+
+        local_key = jax.random.fold_in(keys[0], 17)
+        init_carry = (state, *(_align((jnp.float32(0), jnp.int32(0)))))
+        (state, r_sum, d_sum), _ = jax.lax.scan(
+            body, init_carry, jax.random.split(local_key, steps))
+        # the ONLY collectives: metric reductions over the env axis
+        total_r = jax.lax.psum(r_sum, axis_name)
+        total_d = jax.lax.psum(d_sum, axis_name)
+        return total_r / (batch * steps), total_d
+
+    spmd = jax.shard_map(
+        local_rollout, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def launch(key):
+        keys = jax.random.split(key, batch)
+        return spmd(keys)
+
+    return launch
+
+
 def episode_metrics(traj: Trajectory):
     """Per-batch reductions computed on device (success rate, mean step cost,
     mean reward) — the structured-metrics analog of the reference's Monitor

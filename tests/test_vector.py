@@ -129,3 +129,15 @@ def test_throughput_fn_single():
     state, mean_r = run(jax.random.key(0))
     assert state.map.shape == (128, 10, 10)
     assert np.isfinite(float(mean_r))
+
+
+def test_spmd_shard_map_rollout():
+    """Explicit shard_map SPMD path: per-chip local scans, psum'd metrics."""
+    from ngx.parallel import make_spmd_rollout
+    mesh = make_env_mesh()
+    spec = ngx.make_spec(POGO)
+    launch = make_spmd_rollout(spec, mesh, batch=64, steps=25)
+    mean_r, n_done = launch(jax.random.key(0))
+    assert np.isfinite(float(mean_r))
+    assert float(mean_r) < 0  # random policy
+    assert int(n_done) >= 0
