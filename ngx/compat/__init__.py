@@ -12,7 +12,7 @@ reconstructed host-side from integer codes.
 """
 
 from .env import NGXEnv, make  # noqa: F401
-from .wrappers import (AgentMap, LidarInFront, LimitActions,  # noqa: F401
-                       SaveTrajectories, inject_novelty)
+from .wrappers import (AgentMap, BlockItem, LidarInFront,  # noqa: F401
+                       LimitActions, SaveTrajectories, inject_novelty)
 from .messages import decode_message  # noqa: F401
 from . import constant  # noqa: F401

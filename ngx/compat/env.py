@@ -347,6 +347,68 @@ class NGXEnv:
         self._state = self._state.replace(
             facing=np.int32(DIRECTION_NAMES.index(direction_str)))
 
+    def set_lasts(self, lasts):
+        """Restore step bookkeeping (pogostick_v1_env.py:192-198)."""
+        self.last_action = lasts["last_action"]
+        self.last_step_cost = float(lasts["last_step_cost"])
+        self._state = self._state.replace(
+            step_count=np.int32(lasts["step_count"]),
+            last_reward=np.float32(lasts["last_reward"]),
+            last_done=np.asarray(bool(lasts["last_done"])))
+
+    def add_new_items(self, new_items_quantity):
+        """Grow the item table and respawn (pogostick_v1_env.py:495-501):
+        new items get the next id (no Select action is added), the spawn
+        table is dict.update'd, and the env resets."""
+        from ..novelty import _append_item
+
+        sp = self._spec
+        for item, qty in new_items_quantity.items():
+            if item not in sp.items:
+                sp = _append_item(sp, item, select_action=False)
+            spawn = list(sp.spawn_items)
+            qtys = list(sp.spawn_qty)
+            iid = sp.items.index(item)
+            if iid in spawn:
+                qtys[spawn.index(iid)] = qty
+            else:
+                spawn.append(iid)
+                qtys.append(qty)
+            sp = sp.replace(spawn_items=np.asarray(spawn, np.int32),
+                            spawn_qty=np.asarray(qtys, np.int32))
+        self._spec = sp
+        self._step, self._reset = _kernels(sp)
+        self.reset()
+
+    def block_items(self, item_to_block, item_to_block_from):
+        """Ring each ``item_to_block`` cell with ``item_to_block_from`` on its
+        4 air neighbors, skipping the agent cell (pogostick_v1_env.py:503-522)."""
+        m = np.asarray(self._state.map).copy()
+        bid = self._spec.items_id[item_to_block]
+        fid = self._spec.items_id[item_to_block_from]
+        agent = self.agent_location
+        rows, cols = np.where(m == bid)
+        for r, c in zip(rows, cols):
+            for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                if (0 <= rr <= self.map_size - 1
+                        and 0 <= cc <= self.map_size - 1
+                        and m[rr][cc] == 0 and (rr, cc) != agent):
+                    m[rr][cc] = fid
+        self._state = self._state.replace(map=m.astype(np.int32))
+
+    def add_fence_around(self, item_location, fence_name):
+        """Fill the 3x3 air neighborhood of ``item_location`` with
+        ``fence_name``, skipping the agent cell (pogostick_v1_env.py:524-536)."""
+        m = np.asarray(self._state.map).copy()
+        fid = self._spec.items_id[fence_name]
+        agent = self.agent_location
+        r, c = item_location
+        for rr in (r - 1, r, r + 1):
+            for cc in (c - 1, c, c + 1):
+                if m[rr][cc] == 0 and (rr, cc) != agent:
+                    m[rr][cc] = fid
+        self._state = self._state.replace(map=m.astype(np.int32))
+
     def remap_action(self):
         from ..transforms.actions import remap_actions
         self._spec = remap_actions(self._spec, "hard")

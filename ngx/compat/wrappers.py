@@ -18,7 +18,7 @@ from ..core.mirror import mirror_reset
 from ..novelty import inject_novelty as spec_inject
 from ..transforms import actions as T_actions
 from ..transforms import observations as T_obs
-from .env import NGXEnv
+from .env import NGXEnv  # noqa: F401 (re-exported)
 
 
 def _rewrap(env: NGXEnv, spec) -> NGXEnv:
@@ -63,6 +63,57 @@ def inject_novelty(env: NGXEnv, novelty_name: str, difficulty: str = "hard",
         if construction_resets:
             mirror_reset(spec)  # throwaway draw, keeps np.random in sync
     return new
+
+
+class BlockItem:
+    """Fence every crafting_table after a successful rubber extraction
+    (novelty_wrappers.py:1232-1264).  Not reachable via ``inject_novelty``
+    in the reference either — direct construction only.
+
+    The reference's step calls ``env.add_fence_around((r, c))`` without the
+    required ``fence_name`` argument (novelty_wrappers.py:1259-1261), a
+    latent TypeError on first trigger — the class is effectively dead code
+    (SURVEY §2.4).  Here the evident intent is implemented (fence material
+    ``'fence'``, the item its own ``__init__`` registers); the divergence is
+    deliberate and documented, not silent.
+    """
+
+    def __init__(self, env: NGXEnv):
+        from ..novelty import _append_item
+
+        old_spec = env._spec
+        spec = old_spec
+        if "fence" not in spec.items:
+            # items_id.setdefault only — no Select action, no spawn entry
+            # (novelty_wrappers.py:1243-1244)
+            spec = _append_item(spec, "fence", select_action=False)
+        self.env = _rewrap(env, spec)
+        if env._state is not None and spec.n_items > old_spec.n_items:
+            # live state survives the wrap (the reference never resets here):
+            # pad the inventory for the appended item ids
+            st = env._state
+            pad = np.zeros((spec.n_items - old_spec.n_items,), np.int32)
+            self.env._state = st.replace(
+                inventory=np.concatenate([np.asarray(st.inventory), pad]))
+        self.items_to_block = "crafting_table"
+        self.item_to_block_from = "tree_log"
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, **kw):
+        return self.env.reset(**kw)
+
+    def step(self, action_id):
+        old_rubber = self.env.inventory_items_quantity["rubber"]
+        out = self.env.step(action_id)
+        if (action_id == self.env.actions_id["Extract_rubber"]
+                and old_rubber < self.env.inventory_items_quantity["rubber"]):
+            rows, cols = np.where(
+                self.env.map == self.env.items_id[self.items_to_block])
+            for r, c in zip(rows, cols):
+                self.env.add_fence_around((int(r), int(c)), "fence")
+        return out
 
 
 class SaveTrajectories:

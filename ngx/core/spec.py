@@ -16,6 +16,7 @@ over them so XLA embeds them as constants.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -230,7 +231,20 @@ class EnvSpec:
 
     @property
     def key(self) -> str:
-        return f"{self.env_id}|{self.map_size}|{self.novelty_tag}"
+        """Compile-cache identity: a structural fingerprint of every field,
+        so ANY spec edit (novelty injection, add_new_items, spawn-table
+        override at reset) maps to its own compiled kernel — tag-based keys
+        would silently reuse stale kernels after untagged edits."""
+        h = hashlib.sha1()
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            h.update(f.name.encode())
+            if isinstance(v, np.ndarray):
+                h.update(str(v.dtype).encode())
+                h.update(np.ascontiguousarray(v).tobytes())
+            else:
+                h.update(repr(v).encode())
+        return f"{self.env_id}|{self.map_size}|{h.hexdigest()}"
 
     @property
     def items_id(self) -> Dict[str, int]:

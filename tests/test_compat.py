@@ -224,3 +224,101 @@ def test_keyboard_keymaps():
     ids = set(keys.values())
     for name, i in env.actions_id.items():
         assert i in ids, f"{name} unreachable from keyboard"
+
+
+def test_mutation_hooks_vs_reference():
+    """block_items / add_fence_around / set_lasts bit-exact vs the reference
+    (pogostick_v1_env.py:503-536, :192-198)."""
+    ref = make_ref_env("NovelGridworld-Pogostick-v1")
+    env = C.make("NovelGridworld-Pogostick-v1")
+    np.random.seed(7)
+    ref.reset()
+    np.random.seed(7)
+    env.reset()
+
+    ref.block_items("tree_log", "wall")
+    env.block_items("tree_log", "wall")
+    np.testing.assert_array_equal(env.map, np.asarray(ref.map))
+
+    rows, cols = np.where(np.asarray(ref.map)
+                          == ref.items_id["crafting_table"])
+    loc = (int(rows[0]), int(cols[0]))
+    ref.add_fence_around(loc, "wall")
+    env.add_fence_around(loc, "wall")
+    np.testing.assert_array_equal(env.map, np.asarray(ref.map))
+
+    lasts = {"last_action": "Forward", "step_count": 5,
+             "last_step_cost": 3.5, "last_reward": 2.0, "last_done": False}
+    ref.set_lasts(lasts)
+    env.set_lasts(lasts)
+    assert env.step_count == ref.step_count == 5
+    assert env.last_reward == ref.last_reward == 2.0
+    assert env.last_step_cost == ref.last_step_cost == 3.5
+    assert env.last_action == ref.last_action == "Forward"
+    assert env.last_done is ref.last_done is False
+
+
+def test_add_new_items_vs_reference():
+    """add_new_items appends ids without Select actions and respawns
+    (pogostick_v1_env.py:495-501)."""
+    ref = make_ref_env("NovelGridworld-Pogostick-v1")
+    env = C.make("NovelGridworld-Pogostick-v1")
+    np.random.seed(3)
+    ref.reset()
+    np.random.seed(3)
+    env.reset()
+
+    np.random.seed(11)
+    ref.add_new_items({"rock": 2})
+    np.random.seed(11)
+    env.add_new_items({"rock": 2})
+
+    assert env.items_id == dict(ref.items_id)
+    assert "Select_rock" not in env.actions_id
+    assert env.items_quantity == ref.items_quantity
+    np.testing.assert_array_equal(env.map, np.asarray(ref.map))
+    assert env.agent_location == tuple(ref.agent_location)
+    assert (np.asarray(env.map) == env.items_id["rock"]).sum() == 2
+
+    # the grown env still steps bit-exactly
+    rng = np.random.RandomState(1)
+    for t in range(30):
+        a = int(rng.randint(env.action_space.n))
+        ro, rr, rd, _ = ref.step(a)
+        o, r, d, _ = env.step(a)
+        compare_obs(o, ro, t)
+        assert r == rr and d == rd
+
+
+def test_block_item_wrapper():
+    """BlockItem fences every crafting_table after a successful extraction
+    (novelty_wrappers.py:1232-1264; the reference's own step path has a
+    latent TypeError there, so this is intent-level, not replay, coverage)."""
+    env = C.make("NovelGridworld-Pogostick-v1")
+    np.random.seed(5)
+    env.reset()
+    w = C.BlockItem(env)
+    assert "fence" in w.items_id
+    assert "Select_fence" not in w.actions_id
+
+    m = np.asarray(w.map).copy()
+    ct = w.items_id["crafting_table"]
+    # plant tap+log in a row whose cells don't hold the crafting_table
+    row = 4 if not np.any(m[4, 4:7] == ct) else 6
+    m[row, 5] = w.items_id["tree_tap"]
+    m[row, 6] = w.items_id["tree_log"]
+    w.env._state = w.env._state.replace(map=m.astype(np.int32))
+    w.env.set_agent_location(row, 4)
+    w.env.set_agent_facing("EAST")
+
+    _, _, _, info = w.step(w.actions_id["Extract_rubber"])
+    assert info["result"]
+    assert w.inventory_items_quantity["rubber"] == 1
+
+    mm = np.asarray(w.map)
+    rows, cols = np.where(mm == ct)
+    assert len(rows) >= 1
+    for r0, c0 in zip(rows, cols):
+        for rr in (r0 - 1, r0, r0 + 1):
+            for cc in (c0 - 1, c0, c0 + 1):
+                assert mm[rr][cc] != 0 or (rr, cc) == w.agent_location
