@@ -174,7 +174,8 @@ class NGXEnv:
 
     @property
     def map(self):
-        return self._np(self._state.map)
+        H = self._spec.map_size
+        return self._np(self._state.map).reshape(H, H)
 
     @property
     def agent_location(self):
@@ -383,7 +384,7 @@ class NGXEnv:
     def block_items(self, item_to_block, item_to_block_from):
         """Ring each ``item_to_block`` cell with ``item_to_block_from`` on its
         4 air neighbors, skipping the agent cell (pogostick_v1_env.py:503-522)."""
-        m = np.asarray(self._state.map).copy()
+        m = self.map.copy()
         bid = self._spec.items_id[item_to_block]
         fid = self._spec.items_id[item_to_block_from]
         agent = self.agent_location
@@ -394,12 +395,12 @@ class NGXEnv:
                         and 0 <= cc <= self.map_size - 1
                         and m[rr][cc] == 0 and (rr, cc) != agent):
                     m[rr][cc] = fid
-        self._state = self._state.replace(map=m.astype(np.int32))
+        self._state = self._state.replace(map=m.reshape(-1).astype(np.int32))
 
     def add_fence_around(self, item_location, fence_name):
         """Fill the 3x3 air neighborhood of ``item_location`` with
         ``fence_name``, skipping the agent cell (pogostick_v1_env.py:524-536)."""
-        m = np.asarray(self._state.map).copy()
+        m = self.map.copy()
         fid = self._spec.items_id[fence_name]
         agent = self.agent_location
         r, c = item_location
@@ -407,7 +408,7 @@ class NGXEnv:
             for cc in (c - 1, c, c + 1):
                 if m[rr][cc] == 0 and (rr, cc) != agent:
                     m[rr][cc] = fid
-        self._state = self._state.replace(map=m.astype(np.int32))
+        self._state = self._state.replace(map=m.reshape(-1).astype(np.int32))
 
     def remap_action(self):
         from ..transforms.actions import remap_actions

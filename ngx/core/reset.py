@@ -186,7 +186,9 @@ def make_reset(sp: S.EnvSpec):
             inv = jnp.where(setv >= 0, setv, inv)
 
         state = EnvState(
-            map=m,
+            # generation works on the [H, H] view; EnvState stores the map
+            # flat (see ngx.core.state) — the reshape is layout-free
+            map=m.reshape(-1),
             agent=agent,
             facing=facing,
             inventory=inv.astype(jnp.int32),

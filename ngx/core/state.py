@@ -25,7 +25,12 @@ class StepInfo:
 
 @struct.dataclass
 class EnvState:
-    map: jnp.ndarray         # int32[H, W]; 0 == air
+    # The map is stored FLAT, row-major int32[H*W] (use ``.map2d`` for the
+    # [H, W] view).  TPU tiling pads the two minor dims of an array to the
+    # (8, 128) tile, so a batched [B, 10, 10] map would be laid out as
+    # [B, 16, 128] — a ~20x lane/bandwidth waste on every map-wide op in the
+    # step kernel.  [B, 100] tiles to [B(↑8), 128]: 1.28x padding instead.
+    map: jnp.ndarray         # int32[H*W], row-major; 0 == air
     agent: jnp.ndarray       # int32[2] (row, col)
     facing: jnp.ndarray      # int32 — NORTH/SOUTH/WEST/EAST = 0/1/2/3
     inventory: jnp.ndarray   # int32[I]
@@ -36,12 +41,18 @@ class EnvState:
     last_cost: jnp.ndarray    # float32
     last_done: jnp.ndarray    # bool
 
+    @property
+    def map2d(self) -> jnp.ndarray:
+        """[..., H, W] view of the flat map (works on batched states too)."""
+        H = int(np.sqrt(self.map.shape[-1]))
+        return self.map.reshape(self.map.shape[:-1] + (H, H))
+
 
 def zeros_state(spec) -> EnvState:
     """Blank state (pre-reset) with the right shapes for ``spec``."""
     H = spec.map_size
     return EnvState(
-        map=jnp.zeros((H, H), dtype=jnp.int32),
+        map=jnp.zeros((H * H,), dtype=jnp.int32),
         agent=jnp.array([1, 1], dtype=jnp.int32),
         facing=jnp.array(0, dtype=jnp.int32),
         inventory=jnp.zeros((spec.n_items,), dtype=jnp.int32),
@@ -60,7 +71,7 @@ def state_from_numpy(spec, map_arr, agent, facing, inventory, selected=-1,
     """Build an EnvState from host values (e.g. a reference-env snapshot,
     for the conformance harness / restore-chaining)."""
     return EnvState(
-        map=jnp.asarray(np.asarray(map_arr), dtype=jnp.int32),
+        map=jnp.asarray(np.asarray(map_arr).reshape(-1), dtype=jnp.int32),
         agent=jnp.asarray(np.asarray(agent), dtype=jnp.int32),
         facing=jnp.asarray(facing, dtype=jnp.int32),
         inventory=jnp.asarray(np.asarray(inventory), dtype=jnp.int32),

@@ -16,8 +16,10 @@ TPU mapping notes:
   indices, XLA lowers ``m[fr, fc]`` under vmap to a gather and ``.at[].set``
   to a scatter, both of which serialize badly on TPU; the masked forms are
   pure VPU element-wise work over [B, H, W] and run at memory bandwidth.
-- Neighbor reads come from static shifts of the front-cell mask (pad+slice),
-  never from clamped dynamic indices.
+- The map lives FLAT (int32[H*W]) so batched kernels tile as [B, H*W] →
+  (8, 128) with ~1.28x padding instead of [B, H, W] → [B, 16, 128] (~20x
+  lane waste at H=10).  Neighbor reads are bounds-checked one-hot reads of
+  the flat map, never clamped dynamic indices.
 - Small per-action/per-item/per-recipe table lookups use one-hot contractions
   for the same reason.
 - Op families absent from the spec's action table (chop/jump/fused/extract/…)
@@ -122,7 +124,7 @@ def make_step(sp: S.EnvSpec):
         if sp.obs_mode == S.OBS_DICT:
             # pogostick_v1_env.py:214-228 — raw-state dict
             return {
-                "map": state.map,
+                "map": state.map.reshape(H, H),
                 "agent_location": state.agent,
                 "agent_facing_id": state.facing,
                 "inventory_items_quantity": state.inventory,
@@ -131,7 +133,7 @@ def make_step(sp: S.EnvSpec):
             # observation_wrappers.py:102-129 — 11x11 window centred on the
             # agent (extend=5, zero-padded)
             ext = 5
-            padded = jnp.pad(state.map, ext)
+            padded = jnp.pad(state.map.reshape(H, H), ext)
             win = jax.lax.dynamic_slice(
                 padded, (state.agent[0], state.agent[1]),
                 (2 * ext + 1, 2 * ext + 1))
@@ -157,19 +159,25 @@ def make_step(sp: S.EnvSpec):
         return jnp.concatenate([lidar, state.inventory[jnp.asarray(keep)]])
 
     # ---------------- one-hot / mask helpers (see module docstring) --------
+    # The map is FLAT int32[H*W] (see EnvState.map): one-hot cell masks are
+    # 1-D, so the whole batched kernel runs on [B, H*W] arrays that tile to
+    # (8, 128) with ~1.28x padding, instead of [B, H, W] whose (10, 10) minor
+    # dims would pad to (16, 128) — a ~20x VPU-lane waste.
+    HW = H * H
+
     def cell_mask(r, c):
-        """[H, W] bool one-hot of (r, c); all-false when out of range."""
-        return ((jnp.arange(H)[:, None] == r)
-                & (jnp.arange(H)[None, :] == c))
+        """[H*W] bool one-hot of (r, c); all-false when out of range (the
+        bounds predicate also kills flat-index aliasing, e.g. (1,-1)≡(0,W-1))."""
+        inb = (r >= 0) & (r < H) & (c >= 0) & (c < H)
+        return (jnp.arange(HW) == r * H + c) & inb
 
     def mread(m, mask):
         """Value of the (single) masked cell; 0 (air) if mask is empty."""
         return jnp.sum(jnp.where(mask, m, 0))
 
-    def shift(mask, dr, dc):
-        """Static shift with zero fill: result[i,j] = mask[i+dr, j+dc]."""
-        p = jnp.pad(mask, 1)
-        return p[1 + dr:1 + dr + H, 1 + dc:1 + dc + H]
+    def read_at(m, r, c):
+        """m[r, c], 0 (air) when out of range."""
+        return mread(m, cell_mask(r, c))
 
     def t1(table_np, oh, dtype):
         """One-hot read of a 1-D table."""
@@ -235,20 +243,17 @@ def make_step(sp: S.EnvSpec):
         fence_blocked = jnp.asarray(False)
         if sp.fence_restrict == S.FENCE_MEDIUM:
             # novelty_wrappers.py:933-941 — agent's perpendicular sides fence-free
-            agent_m = cell_mask(r, c)
             ns = (facing == S.NORTH) | (facing == S.SOUTH)
-            side_a = jnp.where(ns, mread(m, shift(agent_m, 0, -1)),
-                               mread(m, shift(agent_m, -1, 0)))
-            side_b = jnp.where(ns, mread(m, shift(agent_m, 0, 1)),
-                               mread(m, shift(agent_m, 1, 0)))
+            side_a = jnp.where(ns, read_at(m, r, c - 1), read_at(m, r - 1, c))
+            side_b = jnp.where(ns, read_at(m, r, c + 1), read_at(m, r + 1, c))
             fence_blocked = (side_a == sp.fence_id) | (side_b == sp.fence_id)
         elif sp.fence_restrict == S.FENCE_HARD:
             # novelty_wrappers.py:943-949 — whole 3x3 around target fence-free
-            win3 = jnp.zeros((H, H), bool)
+            fence_blocked = jnp.asarray(False)
             for ddr in (-1, 0, 1):
                 for ddc in (-1, 0, 1):
-                    win3 = win3 | shift(front_m, ddr, ddc)
-            fence_blocked = jnp.any(win3 & (m == sp.fence_id))
+                    fence_blocked = fence_blocked | (
+                        read_at(m, fr + ddr, fc + ddc) == sp.fence_id)
         if sp.fence_restrict != S.FENCE_NONE:
             # the fence itself is always breakable (novelty_wrappers.py:928-930)
             fence_blocked = fence_blocked & (front != sp.fence_id)
@@ -284,14 +289,14 @@ def make_step(sp: S.EnvSpec):
         chop_ok = breakable
 
         # neighbors of the front cell (is_block_in_front_next_to,
-        # pogostick_v1_env.py:391-411) — static shifts of the front mask
+        # pogostick_v1_env.py:391-411) — bounds-checked one-hot reads
         if NEEDS_NEXT_TO_TREE:
             adj = sp.place_adjacent_item
             next_to_tree = (
-                (mread(m, shift(front_m, -1, 0)) == adj)
-                | (mread(m, shift(front_m, 1, 0)) == adj)
-                | (mread(m, shift(front_m, 0, -1)) == adj)
-                | (mread(m, shift(front_m, 0, 1)) == adj))
+                (read_at(m, fr - 1, fc) == adj)
+                | (read_at(m, fr + 1, fc) == adj)
+                | (read_at(m, fr, fc - 1) == adj)
+                | (read_at(m, fr, fc + 1) == adj))
         else:
             next_to_tree = jnp.asarray(False)
 
@@ -532,16 +537,15 @@ def make_step(sp: S.EnvSpec):
         # grab_entities (pogostick_v1_env.py:538-554) — 3x3 around agent
         nr, nc = new_agent[0], new_agent[1]
         if sp.grab_entities_enabled and bool(np.asarray(sp.entity_mask).any()):
-            agent_m2 = cell_mask(nr, nc)
-            win3 = jnp.zeros((H, H), bool)
+            win3 = jnp.zeros((HW,), bool)
             for ddr in (-1, 0, 1):
                 for ddc in (-1, 0, 1):
-                    win3 = win3 | shift(agent_m2, ddr, ddc)
-            map_ohI = new_map[..., None] == jnp.arange(I)     # [H, W, I]
+                    win3 = win3 | cell_mask(nr + ddr, nc + ddc)
+            map_ohI = new_map[:, None] == jnp.arange(I)       # [H*W, I]
             is_ent = jnp.any(map_ohI & jnp.asarray(entity_mask), axis=-1)
             grab = win3 & is_ent
             new_inv = new_inv + jnp.sum(
-                map_ohI & grab[..., None], axis=(0, 1), dtype=jnp.int32)
+                map_ohI & grab[:, None], axis=0, dtype=jnp.int32)
             new_map = jnp.where(grab, 0, new_map)
 
         # block-in-front AFTER the action (pogostick_v1_env.py:352)
@@ -562,12 +566,11 @@ def make_step(sp: S.EnvSpec):
 
         # firewall death — post-everything override (novelty_wrappers.py:1171-1189)
         if sp.fire_item >= 0:
-            agent_m2 = cell_mask(nr, nc)
             on_fire = (
-                (mread(new_map, shift(agent_m2, -1, 0)) == sp.fire_item)
-                | (mread(new_map, shift(agent_m2, 1, 0)) == sp.fire_item)
-                | (mread(new_map, shift(agent_m2, 0, -1)) == sp.fire_item)
-                | (mread(new_map, shift(agent_m2, 0, 1)) == sp.fire_item))
+                (read_at(new_map, nr - 1, nc) == sp.fire_item)
+                | (read_at(new_map, nr + 1, nc) == sp.fire_item)
+                | (read_at(new_map, nr, nc - 1) == sp.fire_item)
+                | (read_at(new_map, nr, nc + 1) == sp.fire_item))
             reward = jnp.where(on_fire, jnp.float32(-(int(sp.reward_done) // 2)), reward)
             done = done | on_fire
             msg = jnp.where(on_fire, S.MSG_DIED_FIREWALL, msg)

@@ -89,13 +89,14 @@ def make_lidar_fn(sp: S.EnvSpec):
         fill = 0
 
     def lidar(m, agent, facing):
-        # host tables embedded as constants at trace time
+        # host tables embedded as constants at trace time; ``m`` is the FLAT
+        # int32[H*W] map (see EnvState.map) so the beam probe is one 1-D gather
         table_j = jnp.asarray(table)
         slots_j = jnp.asarray(slot_of_item)
         off = table_j[facing]                          # [B, D, 2]
         rr = jnp.clip(agent[0] + off[..., 0], 0, H - 1)
         cc = jnp.clip(agent[1] + off[..., 1], 0, H - 1)
-        vals = m[rr, cc]                               # [B, D]
+        vals = m[rr * H + cc]                          # [B, D]
         hit = vals != 0
         first = jnp.argmax(hit, axis=1)                # first hit index
         has = jnp.any(hit, axis=1)

@@ -46,7 +46,8 @@ class TrajectoryRecorder:
                 inv = np.asarray(host.inventory[t])
                 yield {
                     "map_size": sp.map_size,
-                    "map": np.asarray(host.map[t]),
+                    "map": np.asarray(host.map[t]).reshape(
+                        sp.map_size, sp.map_size),
                     "agent_location": tuple(np.asarray(host.agent[t])),
                     "agent_facing_str": DIRECTION_NAMES[int(host.facing[t])],
                     "block_in_front_id": None,

@@ -83,7 +83,7 @@ def compare_step(spec, ref_env, ngx_state, ngx_out, ref_out, t, modern=True):
         base = base.env
 
     np.testing.assert_array_equal(
-        np.asarray(state.map), np.asarray(base.map),
+        np.asarray(state.map2d), np.asarray(base.map),
         err_msg=f"map mismatch at step {t}")
     assert tuple(np.asarray(state.agent)) == tuple(base.agent_location), \
         f"agent mismatch at step {t}"

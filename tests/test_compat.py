@@ -307,7 +307,7 @@ def test_block_item_wrapper():
     row = 4 if not np.any(m[4, 4:7] == ct) else 6
     m[row, 5] = w.items_id["tree_tap"]
     m[row, 6] = w.items_id["tree_log"]
-    w.env._state = w.env._state.replace(map=m.astype(np.int32))
+    w.env._state = w.env._state.replace(map=m.reshape(-1).astype(np.int32))
     w.env.set_agent_location(row, 4)
     w.env.set_agent_facing("EAST")
 

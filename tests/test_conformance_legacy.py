@@ -31,7 +31,7 @@ def compare_legacy_step(spec, base, state, ngx_out, ref_out, t):
     new_state, obs, r, done, info = ngx_out
 
     np.testing.assert_array_equal(
-        np.asarray(new_state.map), np.asarray(base.map),
+        np.asarray(new_state.map2d), np.asarray(base.map),
         err_msg=f"map mismatch at step {t}")
     assert tuple(np.asarray(new_state.agent)) == tuple(base.agent_location), \
         f"agent mismatch at step {t}"

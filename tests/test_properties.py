@@ -40,8 +40,12 @@ def collect(env_id, seed=0, T=150, B=32):
         return st0, tr
 
     st0, tr = run(jax.random.key(seed))
-    out = (spec, tuple(np.asarray(x) for x in st0),
-           tuple(np.asarray(x) for x in tr))
+    H = spec.map_size
+    st0 = (np.asarray(st0[0]).reshape(B, H, H),) + \
+        tuple(np.asarray(x) for x in st0[1:])
+    tr = (np.asarray(tr[0]).reshape(T, B, H, H),) + \
+        tuple(np.asarray(x) for x in tr[1:])
+    out = (spec, st0, tr)
     _CACHE[key] = out
     return out
 

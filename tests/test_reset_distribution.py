@@ -29,11 +29,11 @@ def test_native_reset_matches_mirror_distribution():
 
     keys = jax.random.split(jax.random.key(0), n)
     native_states, _ = jax.jit(jax.vmap(ngx.make_reset(spec)))(keys)
-    native_maps = np.asarray(native_states.map)
+    native_maps = np.asarray(native_states.map2d)
 
     rng = np.random.RandomState(0)
     mirror_maps = np.stack([
-        np.asarray(mirror_reset(spec, rng).map) for _ in range(n)])
+        np.asarray(mirror_reset(spec, rng).map2d) for _ in range(n)])
 
     tree = spec.items.index("tree_log")
     ct = spec.items.index("crafting_table")

@@ -127,7 +127,7 @@ def test_throughput_fn_single():
     spec = ngx.make_spec(POGO)
     run = throughput_fn(spec, batch=128, steps=10)
     state, mean_r = run(jax.random.key(0))
-    assert state.map.shape == (128, 10, 10)
+    assert state.map.shape == (128, 100)
     assert np.isfinite(float(mean_r))
 
 
