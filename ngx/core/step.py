@@ -53,11 +53,15 @@ def _goal_check(sp: S.EnvSpec, inv, front_after):
     return jnp.all(ge | ~active)
 
 
-def make_step(sp: S.EnvSpec):
+def make_step(sp: S.EnvSpec, with_obs: bool = True):
     """Compile a pure ``step(state, action) -> (state, obs, reward, done, info)``
     for one spec.  All spec tables become XLA constants embedded from host
     numpy at trace time (device-committed constants stall MLIR lowering on
-    tunneled-TPU setups)."""
+    tunneled-TPU setups).
+
+    ``with_obs=False`` returns ``obs=None`` — for throughput rollouts and the
+    Pallas fused-rollout kernel (ngx/ops/pallas_rollout.py), where the obs is
+    unused and its gathers would not lower in Mosaic anyway."""
 
     I = sp.n_items
     H = sp.map_size
@@ -67,10 +71,10 @@ def make_step(sp: S.EnvSpec):
     action_arg = np.asarray(sp.action_arg, dtype=np.int32)
     cost_ok = np.asarray(sp.action_cost_success, dtype=np.float32)
     cost_fail = np.asarray(sp.action_cost_fail, dtype=np.float32)
-    unbreakable = np.asarray(sp.unbreakable)
+    unbreakable = np.asarray(sp.unbreakable, dtype=np.int32)
     break_reward = np.asarray(sp.break_reward, dtype=np.float32)
     break_yield = np.asarray(sp.break_yield, dtype=np.int32)
-    entity_mask = np.asarray(sp.entity_mask)
+    entity_mask = np.asarray(sp.entity_mask, dtype=np.int32)
 
     R = max(sp.n_recipes, 1)
     recipes_in = np.asarray(
@@ -78,7 +82,8 @@ def make_step(sp: S.EnvSpec):
     recipes_out = np.asarray(
         sp.recipes_out if sp.n_recipes else np.zeros((1, I), np.int32), dtype=np.int32)
     recipe_multi = np.asarray(
-        sp.recipe_multi if sp.n_recipes else np.zeros((1,), bool))
+        sp.recipe_multi if sp.n_recipes else np.zeros((1,), bool),
+        dtype=np.int32)
     ccost_ok = np.asarray(
         sp.craft_cost_success if sp.n_recipes else np.zeros((1,), np.float32), dtype=np.float32)
     ccost_missing = np.asarray(
@@ -86,7 +91,8 @@ def make_step(sp: S.EnvSpec):
     ccost_notable = np.asarray(
         sp.craft_cost_no_table if sp.n_recipes else np.zeros((1,), np.float32), dtype=np.float32)
     deadend_recipes = np.asarray(
-        sp.deadend_recipes if sp.n_recipes else np.zeros((1,), bool))
+        sp.deadend_recipes if sp.n_recipes else np.zeros((1,), bool),
+        dtype=np.int32)
 
     crate_contents = np.asarray(
         sp.crate_contents if sp.crate_contents is not None else np.zeros((I,), np.int32),
@@ -167,9 +173,13 @@ def make_step(sp: S.EnvSpec):
 
     def cell_mask(r, c):
         """[H*W] bool one-hot of (r, c); all-false when out of range (the
-        bounds predicate also kills flat-index aliasing, e.g. (1,-1)≡(0,W-1))."""
+        bounds predicate also kills flat-index aliasing, e.g. (1,-1)≡(0,W-1)).
+        The out-of-range case folds into the compared index (-1 never matches
+        the iota) instead of AND-ing a scalar bool: under vmap inside a Pallas
+        kernel that AND would need an i1 minor-dim reshape, which Mosaic
+        cannot lower."""
         inb = (r >= 0) & (r < H) & (c >= 0) & (c < H)
-        return (jnp.arange(HW) == r * H + c) & inb
+        return jnp.asarray(IOTA_HW) == jnp.where(inb, r * H + c, -1)
 
     def mread(m, mask):
         """Value of the (single) masked cell; 0 (air) if mask is empty."""
@@ -184,30 +194,56 @@ def make_step(sp: S.EnvSpec):
         t = jnp.asarray(table_np)
         return jnp.sum(jnp.where(oh, t, jnp.zeros((), dtype)))
 
+    # Mosaic-safe mixed-rank boolean helpers: under vmap inside the Pallas
+    # rollout kernel, `vec_bool & scalar_bool` / `where(scalar_bool, vec, vec)`
+    # need an i1 minor-dim reshape to broadcast, and Mosaic only supports
+    # minor-dim insertion for 32-bit types.  Routing the broadcast through an
+    # int32 0/1 keeps semantics identical (XLA folds it right back).
+    def sb(scalar_bool):
+        """int32 0/1 of a scalar bool."""
+        return jnp.where(scalar_bool, 1, 0)
+
+    def vand(vec_bool, scalar_bool):
+        """vec_bool & scalar_bool without an i1 rank expansion."""
+        return (jnp.where(vec_bool, 1, 0) * sb(scalar_bool)) > 0
+
+    def vsel(scalar_bool, a, b):
+        """where(scalar_bool, a, b) for int vectors, i1-reshape-free."""
+        d = sb(scalar_bool)
+        return a * d + b * (1 - d)
+
+    # np-backed index literals (NOT lax.iota): these also let the whole step
+    # body trace inside a Pallas kernel, where 1-D iota does not lower.
+    IOTA_HW = np.arange(HW, dtype=np.int32)
+    IOTA_A = np.arange(A, dtype=np.int32)
+    IOTA_I = np.arange(I, dtype=np.int32)
+    IOTA_R = np.arange(R, dtype=np.int32)
+    IOTA_4 = np.arange(4, dtype=np.int32)
+
     def step(state: EnvState, action):
         action = jnp.asarray(action, dtype=jnp.int32)
-        oh_a = action == jnp.arange(A)                 # [A]
+        oh_a = action == jnp.asarray(IOTA_A)                 # [A]
         op = t1(action_op, oh_a, jnp.int32)
         arg = t1(action_arg, oh_a, jnp.int32)
-        oh_argI = arg == jnp.arange(I)                 # [I] (item-typed args)
+        oh_argI = arg == jnp.asarray(IOTA_I)                 # [I] (item-typed args)
 
         m = state.map
         r, c = state.agent[0], state.agent[1]
         inv = state.inventory
         facing = state.facing
-        oh_f = facing == jnp.arange(4)                 # [4]
+        oh_f = facing == jnp.asarray(IOTA_4)                 # [4]
 
         dr = t1(S.FACING_DELTAS[:, 0], oh_f, jnp.int32)
         dc = t1(S.FACING_DELTAS[:, 1], oh_f, jnp.int32)
         fr, fc = r + dr, c + dc
         front_m = cell_mask(fr, fc)
         front = mread(m, front_m)
-        oh_frontI = front == jnp.arange(I)             # [I]
+        oh_frontI = front == jnp.asarray(IOTA_I)             # [I]
 
         # ---------------- Forward / turns (pogostick_v1_env.py:244-279) ----
         is_fwd = (op == S.OP_FORWARD) if HAS_FWD else jnp.asarray(False)
         fwd_ok = front == 0
-        new_agent = jnp.where(is_fwd & fwd_ok, jnp.stack([fr, fc]), state.agent)
+        new_agent = vsel(is_fwd & fwd_ok, jnp.stack([fr, fc]), state.agent)
 
         if HAS_TURN:
             is_left = op == S.OP_LEFT
@@ -225,15 +261,16 @@ def make_step(sp: S.EnvSpec):
             j_in = (jr >= 0) & (jr <= H - 1) & (jc >= 0) & (jc <= H - 1)
             j_val = mread(m, cell_mask(jr, jc))
             jump_ok = j_in & (j_val == 0)
-            new_agent = jnp.where(is_jump & jump_ok, jnp.stack([jr, jc]),
-                                  new_agent)
+            new_agent = vsel(is_jump & jump_ok, jnp.stack([jr, jc]),
+                             new_agent)
         else:
             is_jump = jnp.asarray(False)
             jump_ok = jnp.asarray(False)
 
         # ---------------- Break (+ axe / fence / crate folds) --------------
         is_break = (op == S.OP_BREAK) if HAS_BREAK else jnp.asarray(False)
-        breakable = (front != 0) & ~jnp.any(oh_frontI & jnp.asarray(unbreakable))
+        breakable = (front != 0) & ~jnp.any(
+            oh_frontI & (jnp.asarray(unbreakable) > 0))
 
         axe_sel = jnp.asarray(False)
         if sp.axe_mode != S.AXE_NONE:
@@ -344,13 +381,14 @@ def make_step(sp: S.EnvSpec):
         if HAS_CRAFT:
             is_craft = op == S.OP_CRAFT
             rec = jnp.clip(arg, 0, R - 1)
-            oh_rec = rec == jnp.arange(R)              # [R]
-            need = jnp.sum(jnp.where(oh_rec[:, None], jnp.asarray(recipes_in), 0),
+            oh_rec = rec == jnp.asarray(IOTA_R)              # [R]
+            oh_rec_i = jnp.where(oh_rec, 1, 0)         # [R] int32
+            need = jnp.sum(jnp.asarray(recipes_in) * oh_rec_i[:, None],
                            axis=0)                     # [I]
-            rec_out = jnp.sum(jnp.where(oh_rec[:, None], jnp.asarray(recipes_out), 0),
+            rec_out = jnp.sum(jnp.asarray(recipes_out) * oh_rec_i[:, None],
                               axis=0)
             have_all = jnp.all(inv >= need)
-            multi = jnp.any(oh_rec & jnp.asarray(recipe_multi))
+            multi = jnp.any(oh_rec & (jnp.asarray(recipe_multi) > 0))
             at_table = front == sp.crafting_table_id
             if sp.craft_variant == S.CRAFT_MODERN:
                 craft_missing = ~have_all
@@ -403,7 +441,7 @@ def make_step(sp: S.EnvSpec):
         front_new = jnp.where(write_break, 0,
                               jnp.where(write_place,
                                         jnp.where(is_fused, tap_i, arg), front))
-        new_map = jnp.where(front_m & (write_break | write_place),
+        new_map = jnp.where(vand(front_m, write_break | write_place),
                             front_new, m)
 
         # ================= consolidate inventory ===========================
@@ -411,26 +449,26 @@ def make_step(sp: S.EnvSpec):
                                jnp.where(is_chop & chop_ok, 2, 0))
         inv_delta = jnp.where(oh_frontI, gain_break, 0)
         if sp.crate_id >= 0:
-            inv_delta = inv_delta + jnp.where(crate_add,
-                                              jnp.asarray(crate_contents), 0)
+            inv_delta = inv_delta + jnp.asarray(crate_contents) * sb(crate_add)
         if HAS_PLACE:
-            inv_delta = inv_delta - jnp.where(oh_argI & (is_place & place_ok), 1, 0)
+            inv_delta = inv_delta - jnp.where(oh_argI,
+                                              sb(is_place & place_ok), 0)
         if HAS_EXR or HAS_FUSED:
-            oh_rubber = jnp.arange(I) == rubber_i
+            oh_rubber = jnp.asarray(IOTA_I) == rubber_i
             inv_delta = inv_delta + jnp.where(
                 oh_rubber,
                 jnp.where(is_exr & exr_ok, sp.extract_amount, 0)
                 + jnp.where(is_fused & (fused_place | fused_extract), 1, 0), 0)
         if HAS_EXS and sp.extract_yield_item >= 0 and sp.extract_source_item >= 0:
-            oh_yield = jnp.arange(I) == sp.extract_yield_item
+            oh_yield = jnp.asarray(IOTA_I) == sp.extract_yield_item
             inv_delta = inv_delta + jnp.where(
-                oh_yield & (is_exs & exs_ok), sp.extract_amount, 0)
+                oh_yield, sb(is_exs & exs_ok) * sp.extract_amount, 0)
         if HAS_FUSED:
-            oh_tap = jnp.arange(I) == tap_i
-            inv_delta = inv_delta - jnp.where(oh_tap & (is_fused & fused_place), 1, 0)
+            oh_tap = jnp.asarray(IOTA_I) == tap_i
+            inv_delta = inv_delta - jnp.where(oh_tap,
+                                              sb(is_fused & fused_place), 0)
         if HAS_CRAFT:
-            inv_delta = inv_delta + jnp.where(is_craft & craft_ok,
-                                              rec_out - need, 0)
+            inv_delta = inv_delta + (rec_out - need) * sb(is_craft & craft_ok)
         new_inv = inv + inv_delta
 
         # ================= reward / result / cost / message ================
@@ -443,13 +481,13 @@ def make_step(sp: S.EnvSpec):
             return jnp.where(cond, a, b)
 
         # forward / jump failures
-        result = sel(is_fwd & ~fwd_ok, False, result)
+        result = result & ~(is_fwd & ~fwd_ok)
         msg = sel((is_fwd & ~fwd_ok) | (is_jump & ~jump_ok), S.MSG_BLOCK_IN_PATH, msg)
-        result = sel(is_jump & ~jump_ok, False, result)
+        result = result & ~(is_jump & ~jump_ok)
 
         # break
         reward = sel(is_break & break_ok, brk_reward, reward)
-        result = sel(is_break & ~break_ok, False, result)
+        result = result & ~(is_break & ~break_ok)
         msg = sel(is_break & ~breakable, S.MSG_CANNOT_BREAK, msg)
         msg_arg = sel(is_break & ~breakable, front, msg_arg)
         if sp.fence_restrict != S.FENCE_NONE:
@@ -463,7 +501,7 @@ def make_step(sp: S.EnvSpec):
         # chop
         if HAS_CHOP:
             reward = sel(is_chop & chop_ok, jnp.float32(sp.reward_intermediate), reward)
-            result = sel(is_chop & ~chop_ok, False, result)
+            result = result & ~(is_chop & ~chop_ok)
             msg = sel(is_chop & ~chop_ok, S.MSG_CANNOT_CHOP, msg)
             msg_arg = sel(is_chop & ~chop_ok, front, msg_arg)
 
@@ -471,7 +509,7 @@ def make_step(sp: S.EnvSpec):
         if HAS_PLACE:
             reward = sel(is_place & place_ok & next_to_tree,
                          jnp.float32(sp.reward_intermediate), reward)
-            result = sel(is_place & ~place_ok, False, result)
+            result = result & ~(is_place & ~place_ok)
             msg = sel(is_place & place_ok, S.MSG_TAP_PLACED, msg)
             msg = sel(is_place & have_place & (front != 0), S.MSG_BLOCK_EXISTS, msg)
             msg_arg = sel(is_place & have_place & (front != 0), front, msg_arg)
@@ -480,20 +518,20 @@ def make_step(sp: S.EnvSpec):
         # extract rubber
         if HAS_EXR:
             reward = sel(is_exr & exr_ok, jnp.float32(sp.reward_intermediate), reward)
-            result = sel(is_exr & ~exr_ok, False, result)
+            result = result & ~(is_exr & ~exr_ok)
             msg = sel(is_exr & exr_at_tap & ~next_to_tree, S.MSG_NO_TREE_NEAR_TAP, msg)
             msg = sel(is_exr & ~exr_at_tap, S.MSG_NO_TAP, msg)
 
         # extract string
         if HAS_EXS:
             reward = sel(is_exs & exs_ok, jnp.float32(sp.reward_intermediate), reward)
-            result = sel(is_exs & ~exs_ok, False, result)
+            result = result & ~(is_exs & ~exs_ok)
             msg = sel(is_exs & ~exs_ok, S.MSG_NO_WOOL, msg)
 
         # craft
         if HAS_CRAFT:
             reward = sel(is_craft, craft_reward, reward)
-            result = sel(is_craft & ~craft_ok, False, result)
+            result = result & ~(is_craft & ~craft_ok)
             msg = sel(is_craft & craft_missing, S.MSG_MISSING_ITEMS, msg)
             msg = sel(is_craft & craft_notable, S.MSG_NEED_TABLE, msg)
             msg = sel(is_craft & craft_ok, S.MSG_CRAFTED, msg)
@@ -506,7 +544,7 @@ def make_step(sp: S.EnvSpec):
 
         # select
         if HAS_SELECT:
-            result = sel(is_select & ~sel_ok, False, result)
+            result = result & ~(is_select & ~sel_ok)
             msg = sel(is_select & ~sel_ok, S.MSG_ITEM_NOT_FOUND, msg)
 
         # step costs (zero for legacy envs — their tables are all 0)
@@ -526,7 +564,7 @@ def make_step(sp: S.EnvSpec):
         # (novelty_wrappers.py:930,960-984).
         if fence_active:
             fdel = is_break & break_ok
-            result = sel(fdel, True, result)
+            result = result | fdel
             msg = sel(fdel, S.MSG_NONE, msg)
             cost = sel(fdel, jnp.float32(sp.break_cost), cost)
             step_inc = jnp.where(fdel, 2, 1)
@@ -541,15 +579,17 @@ def make_step(sp: S.EnvSpec):
             for ddr in (-1, 0, 1):
                 for ddc in (-1, 0, 1):
                     win3 = win3 | cell_mask(nr + ddr, nc + ddc)
-            map_ohI = new_map[:, None] == jnp.arange(I)       # [H*W, I]
-            is_ent = jnp.any(map_ohI & jnp.asarray(entity_mask), axis=-1)
+            map_ohI = new_map[:, None] == jnp.asarray(IOTA_I)       # [H*W, I]
+            is_ent = jnp.any(map_ohI & (jnp.asarray(entity_mask) > 0),
+                             axis=-1)
             grab = win3 & is_ent
             new_inv = new_inv + jnp.sum(
-                map_ohI & grab[:, None], axis=0, dtype=jnp.int32)
+                jnp.where(map_ohI, jnp.where(grab, 1, 0)[:, None], 0),
+                axis=0, dtype=jnp.int32)
             new_map = jnp.where(grab, 0, new_map)
 
         # block-in-front AFTER the action (pogostick_v1_env.py:352)
-        oh_f2 = new_facing == jnp.arange(4)
+        oh_f2 = new_facing == jnp.asarray(IOTA_4)
         d2r = t1(S.FACING_DELTAS[:, 0], oh_f2, jnp.int32)
         d2c = t1(S.FACING_DELTAS[:, 1], oh_f2, jnp.int32)
         front_after = mread(new_map, cell_mask(nr + d2r, nc + d2c))
@@ -561,7 +601,8 @@ def make_step(sp: S.EnvSpec):
         # dead-end termination (novel_gridworld_v2_env.py:263-266)
         if bool(deadend_recipes.any()):
             craftable = jnp.all(new_inv[None, :] >= jnp.asarray(recipes_in), axis=1)
-            deadend = ~jnp.any(craftable & jnp.asarray(deadend_recipes))
+            deadend = ~jnp.any(craftable
+                               & (jnp.asarray(deadend_recipes) > 0))
             done = done | (~goal_met & deadend)
 
         # firewall death — post-everything override (novelty_wrappers.py:1171-1189)
@@ -587,7 +628,7 @@ def make_step(sp: S.EnvSpec):
             last_cost=cost,
             last_done=done,
         )
-        obs = get_obs(new_state)
+        obs = get_obs(new_state) if with_obs else None
         info = StepInfo(result=result, step_cost=cost, msg_code=msg, msg_arg=msg_arg)
         return new_state, obs, reward, done, info
 

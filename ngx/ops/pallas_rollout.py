@@ -1,0 +1,418 @@
+"""Whole-rollout Pallas kernel: T env steps with block state resident in VMEM.
+
+The ``lax.scan`` rollout (ngx/vector) materializes the carried ``EnvState``
+through HBM on every step — ~2T full-state round-trips per rollout.  This
+kernel instead grids over env blocks and runs the ENTIRE T-step rollout for a
+block inside one Pallas program: the state lives in VMEM scratch for all T
+steps, actions come from an on-core counter-hash RNG, and HBM sees exactly
+one state write per block at the end.
+
+Semantic parity is structural, not re-implemented: the per-step dynamics are
+``jax.vmap(ngx.core.step.make_step(spec, with_obs=False))`` traced *inside*
+the kernel — the same masked-arithmetic step the conformance suites verify
+bit-exactly against the reference (pogostick_v1_env.py:230-367 etc.).  Only
+reset is hand-written here (uniform-over-valid-cells placement via
+max-of-uniforms; distribution-identical to the reference's rejection loop —
+see ngx/core/reset.py's proof), because `jax.random` keys don't exist inside
+Mosaic.  Auto-reset semantics match ngx.vector.make_vec: a done env's carried
+state is a fresh reset draw under a `lax.cond`.
+
+Measured result (v5e, 8192 Pogostick-v1 envs, T=256, block=512): ~25M
+env-steps/s — correct, but ~3x SLOWER than the jit(vmap(step)) lax.scan path
+(~85M).  The step kernel is VPU-compute-bound, not HBM-bound (state traffic
+is ~8.5us/step vs ~96us compute at this batch), so eliminating the scan's
+HBM round-trips buys <10% while Mosaic's codegen for this mask-heavy int32
+workload loses to XLA's fusion autotuning.  The XLA path therefore stays the
+default/bench path; this backend is kept as the on-core harness for kernels
+that DO win in Pallas (fused policy+env rollouts on the MXU, remote-DMA
+pipelines) and as executable documentation of the Mosaic port pitfalls
+(no i1 rank expansion, no multi-leaf vector loop carries, no lane rotates of
+non-128-multiple vectors — hence the ADJ matmul, no uint->float converts).
+
+Gating: specs whose reset needs novelty transforms (fence/additem/replace) or
+the v3 wall-coin / Pogostick-v0 tap pre-placement fall back to the XLA path
+(`supports_pallas_rollout` returns False).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import spec as S
+from ..core.state import EnvState
+from ..core.step import make_step
+
+
+def supports_pallas_rollout(sp) -> bool:
+    """Pallas fast path covers specs with plain procedural resets."""
+    return (sp.reset_fence is None and sp.reset_additem is None
+            and sp.reset_replace is None and not sp.reset_wall_coin
+            and not sp.reset_place_tap)
+
+
+# packed int32 scalar-register columns (one row per env)
+_R, _C, _FACE, _SEL, _CNT, _LACT, _LDONE, _PAD = range(8)
+
+
+def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
+                        action_source: str = "prng", interpret: bool = False):
+    """Build ``run(seed[, actions]) -> (EnvState[batch], mean_reward, n_done)``.
+
+    ``action_source='prng'``: uniform-random actions drawn on-core (bench
+    mode, zero HBM traffic).  ``action_source='input'``: the caller passes
+    ``actions: int32[T, batch]`` — used by the parity tests so the XLA scan
+    and this kernel can be driven with identical action streams.
+    """
+    assert supports_pallas_rollout(sp), sp.env_id
+    assert batch % block == 0, (batch, block)
+    H, I, A = sp.map_size, sp.n_items, sp.n_actions
+    HW = H * H
+    TB, T = block, steps
+    nblk = batch // block
+
+    vstep = jax.vmap(make_step(sp, with_obs=False))
+
+    # ---- host constants (embedded in the kernel at trace time) ------------
+    wall = sp.items.index("wall") if "wall" in sp.items else 0
+    base = np.zeros((H, H), np.int32)
+    base[0, :] = base[-1, :] = base[:, 0] = base[:, -1] = wall
+    BASE_FLAT = base.reshape(-1)
+
+    interior = np.zeros((H, H), bool)
+    interior[2:H - 2, 2:H - 2] = True
+    INTERIOR_FLAT = interior.reshape(-1).astype(np.int32)  # bool consts load
+    # as i8 in Mosaic and the i8->i1 trunc has no lowering; compare in-kernel
+    INTERIOR_IDS = np.nonzero(interior.reshape(-1))[0].astype(np.int32)  # [N]
+    N = INTERIOR_IDS.shape[0]
+
+    PLACEMENTS = np.repeat(np.asarray(sp.spawn_items, np.int32),
+                           np.asarray(sp.spawn_qty, np.int32))
+
+    inv_lo = np.asarray(sp.start_inv_lo if sp.start_inv_lo is not None
+                        else np.zeros((I,), np.int32), np.int32)
+    inv_hi = np.asarray(sp.start_inv_hi if sp.start_inv_hi is not None
+                        else inv_lo, np.int32)
+    RANDOM_INV = bool((inv_hi != inv_lo).any())
+    INV_SET = (np.asarray(sp.reset_inv_set, np.int32)
+               if sp.reset_inv_set is not None else None)
+
+    IOTA_HW = np.arange(HW, dtype=np.int32)
+    IOTA_N = np.arange(N, dtype=np.int32)
+
+    # 4-neighbor adjacency over the flat map, as a matmul operand: Mosaic
+    # cannot lane-rotate a 100-wide vector (jnp.roll crashes the backend), so
+    # the placement free-test counts air neighbors with one tiny MXU matmul
+    # air[TB,HW] @ ADJ[HW,HW] instead.
+    ADJ = np.zeros((HW, HW), np.float32)
+    for _r in range(H):
+        for _c in range(H):
+            _i = _r * H + _c
+            for _rr, _cc in ((_r - 1, _c), (_r + 1, _c),
+                             (_r, _c - 1), (_r, _c + 1)):
+                if 0 <= _rr < H and 0 <= _cc < H:
+                    ADJ[_rr * H + _cc, _i] = 1.0
+
+    # ---- stateless counter-based RNG ---------------------------------------
+    # A murmur3-finalizer hash over (seed, step counter, call-site salt, lane)
+    # instead of the pltpu hardware PRNG: pure uint32 jnp ops, so the same
+    # kernel runs bit-identically under interpret mode on CPU (where
+    # `pltpu.prng_seed` has no lowering) and compiled on TPU.  Statistical
+    # quality (two avalanche rounds) is ample for uniform cell picks and
+    # random actions.
+    _GOLD = np.uint32(0x9E3779B1)
+
+    def _mix(x):
+        x = x ^ (x >> 16)
+        x = x * np.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        x = x * np.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
+        return x
+
+    def _bits(seed, ctr, salt, shape):
+        salt_c = np.uint32((int(salt) * 0x85EBCA77) & 0xFFFFFFFF)
+        # scalar int32 -> uint32: same-width convert (tpu.bitcast needs vectors)
+        seed_u = seed.astype(jnp.uint32)
+        ctr_u = ctr.astype(jnp.uint32)
+        base = _mix(seed_u * _GOLD ^ ctr_u * np.uint32(0x632BE59B) ^ salt_c)
+        lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                * np.uint32(0x01000193)
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+                * np.uint32(0x9E3779B9))
+        return _mix(_mix(lane ^ base))
+
+    def _i32(x):
+        # Mosaic has no uint32->{int32,float32} convert; a bitcast is exact
+        # here because callers pre-shift the value under 2^31.
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def _u01(seed, ctr, salt, shape):
+        # 24-bit mantissa uniforms in [0, 1)
+        return (_i32(_bits(seed, ctr, salt, shape) >> 8).astype(jnp.float32)
+                * np.float32(2.0 ** -24))
+
+    def _randint(seed, ctr, salt, shape, n):
+        # top-31-bits modulo; bias < 2^-27 for n <= 64
+        return _i32(_bits(seed, ctr, salt, shape) >> 1) % n
+
+    # ---- block reset (native-mode distribution; see ngx/core/reset.py) ----
+    def _pick_uniform_valid(valid, seed, ctr, salt):
+        """One-hot [TB, HW] of a uniform pick among each row's valid cells
+        (empty row -> all-false).  max-of-iid-uniforms == uniform pick; the
+        min-index tie-break avoids relying on argmax lowering in Mosaic."""
+        u = _u01(seed, ctr, salt, (TB, HW))
+        score = jnp.where(valid, u, -1.0)
+        mx = jnp.max(score, axis=1, keepdims=True)
+        cand = (score >= mx) & valid
+        pick = jnp.min(jnp.where(cand, jnp.asarray(IOTA_HW)[None, :], HW),
+                       axis=1)
+        return (jnp.asarray(IOTA_HW)[None, :] == pick[:, None])
+
+    def _reset_block(seed, ctr) -> EnvState:
+        # agent cell: uniform over the 2-margin interior (reset draw 1-2,
+        # pogostick_v1_env.py:141-145)
+        aidx = _randint(seed, ctr, 2, (TB, 1), N)[:, 0]        # [TB]
+        oh_a = jnp.asarray(IOTA_N)[None, :] == aidx[:, None]   # [TB, N]
+        acell = jnp.sum(jnp.where(oh_a, jnp.asarray(INTERIOR_IDS)[None, :], 0),
+                        axis=1)
+        facing = _randint(seed, ctr, 3, (TB, 1), 4)[:, 0]
+
+        m = jnp.broadcast_to(jnp.asarray(BASE_FLAT)[None, :], (TB, HW))
+        not_agent = jnp.asarray(IOTA_HW)[None, :] != acell[:, None]
+        imask = jnp.asarray(INTERIOR_FLAT)[None, :] > 0
+        for j, item in enumerate(PLACEMENTS.tolist()):
+            air = m == 0
+            # cell + all 4 neighbors air (pogostick_v1_env.py:171-173):
+            # count air neighbors via the ADJ matmul; every interior cell has
+            # exactly 4 in-bounds neighbors, so == 4 means all-air
+            air_f = jnp.where(air, 1.0, 0.0)
+            nb4 = jnp.dot(air_f, jnp.asarray(ADJ),
+                          preferred_element_type=jnp.float32) >= 3.5
+            valid = air & nb4 & imask & not_agent
+            oh = _pick_uniform_valid(valid, seed, ctr, 16 + j)
+            m = jnp.where(oh, jnp.int32(item), m)
+
+        if RANDOM_INV:
+            span = jnp.asarray((inv_hi - inv_lo + 1)[None, :])
+            inv = jnp.asarray(inv_lo)[None, :] + \
+                _i32(_bits(seed, ctr, 4, (TB, I)) >> 1) % span
+        else:
+            inv = jnp.broadcast_to(jnp.asarray(inv_lo)[None, :], (TB, I))
+        if INV_SET is not None:
+            setv = jnp.asarray(INV_SET)[None, :]
+            inv = jnp.where(setv >= 0, setv, inv)
+
+        zi = jnp.zeros((TB,), jnp.int32)
+        return EnvState(
+            map=m.astype(jnp.int32),
+            agent=jnp.stack([acell // H, acell % H], axis=-1),
+            facing=facing,
+            inventory=inv.astype(jnp.int32),
+            selected=zi - 1,
+            step_count=zi,
+            last_action=zi,
+            last_reward=jnp.zeros((TB,), jnp.float32),
+            last_cost=jnp.zeros((TB,), jnp.float32),
+            # carried as int32 inside the kernel: a bool loop-carry leaf
+            # lowers as i8 and Mosaic has no i8->i1 trunc for the merge select
+            last_done=jnp.zeros((TB,), jnp.int32),
+        )
+
+    def _merge_done(done, fresh, stepped):
+        # rank-expand through int32 (Mosaic can't insert minor dims on i1)
+        di = jnp.where(done, 1, 0)
+
+        def mrg(f, n):
+            d = di.reshape(di.shape + (1,) * (n.ndim - 1)) != 0
+            return jnp.where(d, f, n)
+
+        return jax.tree_util.tree_map(mrg, fresh, stepped)
+
+    # ---- the per-block compute, as two pure functions ----------------------
+    # The block state lives in VMEM *scratch refs* across the T-step loop:
+    # `lax.fori_loop` with more than one vector carry miscompiles in the
+    # current Mosaic/jellyfish backend ("limits[i] <= dim(i)" check failure),
+    # so the loop carries only its index and the body reads/writes scratch.
+    # Pallas kernels also cannot close over array constants (the spec tables
+    # make_step embeds), so reset and step are traced to jaxprs up front and
+    # every captured table is hoisted into an explicit kernel input.
+    WITH_INPUT = action_source == "input"
+
+    def _pack(st, rs, ds):
+        iregs = jnp.stack(
+            [st.agent[:, 0], st.agent[:, 1], st.facing, st.selected,
+             st.step_count, st.last_action, st.last_done, ds], axis=-1)
+        fregs = jnp.stack([st.last_reward, st.last_cost, rs,
+                           jnp.zeros((TB,), jnp.float32)], axis=-1)
+        return st.map, iregs, fregs, st.inventory
+
+    def _unpack(m, ir, fc, inv):
+        return EnvState(
+            map=m, agent=ir[:, :2], facing=ir[:, _FACE],
+            inventory=inv, selected=ir[:, _SEL], step_count=ir[:, _CNT],
+            last_action=ir[:, _LACT], last_reward=fc[:, 0],
+            last_cost=fc[:, 1], last_done=ir[:, _LDONE])
+
+    def _reset_arrays(seed):
+        z = jnp.zeros((TB,), jnp.float32)
+        return _pack(_reset_block(seed, jnp.int32(0)), z,
+                     jnp.zeros((TB,), jnp.int32))
+
+    def _step_arrays(seed, t, m, ir, fc, inv, acts_row=None):
+        st = _unpack(m, ir, fc, inv)
+        ctr = t + 1
+        if WITH_INPUT:
+            a = acts_row
+        else:
+            a = _randint(seed, ctr, 1, (TB, 1), A)[:, 0]
+        ns, _, r, done, _info = vstep(st, a)
+        ns = ns.replace(last_done=jnp.where(done, 1, 0))  # i32 (no i1 leaves)
+        # auto-reset under lax.cond so the common no-done step skips the
+        # fresh-state computation.  Everything crossing the branch boundary
+        # must be 2-D: rank-1 [TB] leaves there trip a Mosaic layout check
+        # ("arr.size() >= layout_rank"), so the state rides packed and the
+        # done mask/accumulators ride as [TB, 1] columns.
+        di = jnp.where(done, 1, 0)
+        packed = _pack(ns, fc[:, 2] + r, ir[:, _PAD] + di)
+
+        def do_merge(ops):
+            p, d2 = ops
+            fresh = _pack(_reset_block(seed, ctr), p[2][:, 2], p[1][:, _PAD])
+            return tuple(
+                jnp.where(d2 != 0, f, n) for f, n in zip(fresh, p))
+
+        return jax.lax.cond(jnp.any(done), do_merge, lambda ops: ops[0],
+                            (packed, di[:, None]))
+
+    T_in = T if WITH_INPUT else 1
+    _seed_ex = jnp.zeros((), jnp.int32)
+    _state_ex = (jnp.zeros((TB, HW), jnp.int32), jnp.zeros((TB, 8), jnp.int32),
+                 jnp.zeros((TB, 4), jnp.float32), jnp.zeros((TB, I), jnp.int32))
+    reset_jaxpr = jax.make_jaxpr(_reset_arrays)(_seed_ex)
+    if WITH_INPUT:
+        step_jaxpr = jax.make_jaxpr(_step_arrays)(
+            _seed_ex, _seed_ex, *_state_ex, jnp.zeros((TB,), jnp.int32))
+    else:
+        step_jaxpr = jax.make_jaxpr(_step_arrays)(_seed_ex, _seed_ex,
+                                                  *_state_ex)
+
+    # dedupe the union of both jaxprs' consts (the one-hot iotas recur dozens
+    # of times); each unique table becomes one small VMEM kernel input
+    consts = []
+
+    def _slots(jaxpr):
+        slots = []
+        for cv in jaxpr.consts:
+            c = np.asarray(cv)
+            for k, u in enumerate(consts):
+                if (u.shape == c.shape and u.dtype == c.dtype
+                        and np.array_equal(u, c)):
+                    slots.append(k)
+                    break
+            else:
+                slots.append(len(consts))
+                consts.append(c)
+        return slots
+
+    slot_r = _slots(reset_jaxpr)
+    slot_s = _slots(step_jaxpr)
+    consts = [jnp.asarray(c) for c in consts]
+    n_consts = len(consts)
+
+    def kernel(seed_ref, *refs):
+        if WITH_INPUT:
+            actions_ref, refs = refs[0], refs[1:]
+        const_refs = refs[:n_consts]
+        map_out, iregs_out, fregs_out, inv_out = refs[n_consts:n_consts + 4]
+        map_s, ir_s, fc_s, inv_s = refs[n_consts + 4:]
+        blk = pl.program_id(0)
+        # independent per-(call, block) stream
+        seed = seed_ref[0] + blk * jnp.int32(7919)
+
+        cr = [const_refs[k][...] for k in slot_r]
+        m0, ir0, fc0, inv0 = jax.core.eval_jaxpr(reset_jaxpr.jaxpr, cr, seed)
+        map_s[:, :] = m0
+        ir_s[:, :] = ir0
+        fc_s[:, :] = fc0
+        inv_s[:, :] = inv0
+
+        cs = [const_refs[k][...] for k in slot_s]
+
+        def body(t, _):
+            args = (seed, t, map_s[:, :], ir_s[:, :], fc_s[:, :], inv_s[:, :])
+            if WITH_INPUT:
+                args = args + (actions_ref[t, :],)
+            m, ir, fc, inv = jax.core.eval_jaxpr(step_jaxpr.jaxpr, cs, *args)
+            map_s[:, :] = m
+            ir_s[:, :] = ir
+            fc_s[:, :] = fc
+            inv_s[:, :] = inv
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        map_out[:, :] = map_s[:, :]
+        iregs_out[:, :] = ir_s[:, :]
+        fregs_out[:, :] = fc_s[:, :]
+        inv_out[:, :] = inv_s[:, :]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, HW), jnp.int32),   # map
+        jax.ShapeDtypeStruct((batch, 8), jnp.int32),    # int regs + done count
+        jax.ShapeDtypeStruct((batch, 4), jnp.float32),  # float regs + r sum
+        jax.ShapeDtypeStruct((batch, I), jnp.int32),    # inventory
+    )
+    out_specs = (
+        pl.BlockSpec((TB, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, I), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+    )
+    # actions stream is blocked per env-block (input mode only); the hoisted
+    # spec tables ride along whole.
+    in_specs = ([pl.BlockSpec((T_in, TB), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM)] if WITH_INPUT else [])
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((TB, HW), jnp.int32),   # map
+            pltpu.VMEM((TB, 8), jnp.int32),    # packed int regs + done count
+            pltpu.VMEM((TB, 4), jnp.float32),  # packed float regs + reward sum
+            pltpu.VMEM((TB, I), jnp.int32),    # inventory
+        ],
+    )
+    call = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          interpret=interpret)
+
+    def run(seed, actions=None):
+        seed_arr = jnp.asarray([seed], jnp.int32)
+        if WITH_INPUT:
+            m, iregs, fregs, inv = call(
+                seed_arr, jnp.asarray(actions, jnp.int32), *consts)
+        else:
+            m, iregs, fregs, inv = call(seed_arr, *consts)
+        state = EnvState(
+            map=m,
+            agent=iregs[:, :2],
+            facing=iregs[:, _FACE],
+            inventory=inv,
+            selected=iregs[:, _SEL],
+            step_count=iregs[:, _CNT],
+            last_action=iregs[:, _LACT],
+            last_reward=fregs[:, 0],
+            last_cost=fregs[:, 1],
+            last_done=iregs[:, _LDONE].astype(bool),
+        )
+        denom = max(batch * steps, 1)
+        return (state, jnp.sum(fregs[:, 2]) / denom,
+                jnp.sum(iregs[:, _PAD]))
+
+    return run
