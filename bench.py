@@ -1,4 +1,4 @@
-"""Benchmark: env-steps/s on one chip at 8192 batched Pogostick-v1 envs.
+"""Benchmark: env-steps/s on one chip at 256k batched Pogostick-v1 envs.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
@@ -19,7 +19,9 @@ import os
 import sys
 import time
 
-BATCH = int(os.environ.get("NGX_BENCH_BATCH", 8192))
+# 256k envs saturates one v5e chip (85M steps/s @ 8k -> 170M @ 256k; flat
+# beyond); state is ~110 MB so HBM is nowhere near a constraint
+BATCH = int(os.environ.get("NGX_BENCH_BATCH", 262144))
 STEPS = int(os.environ.get("NGX_BENCH_STEPS", 1024))
 REPEATS = int(os.environ.get("NGX_BENCH_REPEATS", 3))
 ENV_ID = os.environ.get("NGX_BENCH_ENV", "NovelGridworld-Pogostick-v1")
