@@ -74,8 +74,14 @@ def main(argv=None):
     p.add_argument("-render", action="store_true")
     p.add_argument("-num_beams", type=int, default=8)
     p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-platform", default="cpu", choices=("cpu", "tpu", "auto"),
+                   help="device for this single-env driver (default cpu: "
+                        "B=1 stepping is dispatch-latency-bound; keeps the "
+                        "chip free for training)")
     args = p.parse_args(argv)
 
+    from . import set_platform
+    set_platform(args.platform)
     import ngx.compat as C
 
     if args.env == "NovelGridworld-v5":

@@ -22,8 +22,11 @@ def main(argv=None):
     p.add_argument("-arg2", default="")
     p.add_argument("-render", action="store_true")
     p.add_argument("-seed", type=int, default=-1)
+    p.add_argument("-platform", default="cpu", choices=("cpu", "tpu", "auto"))
     args = p.parse_args(argv)
 
+    from . import set_platform
+    set_platform(args.platform)
     import ngx.compat as C
     from ngx.compat.constant import assign_keys
 

@@ -25,8 +25,11 @@ def main(argv=None):
     p.add_argument("-num_beams", type=int, default=8)
     p.add_argument("-out", default="demos.npz")
     p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-platform", default="cpu", choices=("cpu", "tpu", "auto"))
     args = p.parse_args(argv)
 
+    from . import set_platform
+    set_platform(args.platform)
     import ngx.compat as C
     env = C.LidarInFront(C.make(args.env), num_beams=args.num_beams)
 

@@ -58,8 +58,11 @@ def main(argv=None):
     p.add_argument("-port", type=int, default=9000)
     p.add_argument("-render", action="store_true")
     p.add_argument("-max_steps", type=int, default=None)
+    p.add_argument("-platform", default="cpu", choices=("cpu", "tpu", "auto"))
     args = p.parse_args(argv)
 
+    from . import set_platform
+    set_platform(args.platform)
     import ngx.compat as C
     serve(C.make(args.env), args.host, args.port, args.render, args.max_steps)
 
