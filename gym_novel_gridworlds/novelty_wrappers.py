@@ -123,10 +123,13 @@ def ExtractIncDec(env, incdec="decrease"):
 
 
 def remap_action_difficulty(env, difficulty="hard"):
-    """Reference function form (novelty_wrappers.py:1203-1227): reshuffle
-    action ids; with LimitActions present the limited table is remapped."""
+    """Reference function form (novelty_wrappers.py:1203-1227): with a
+    LimitActions below, ONLY the limited table is reshuffled (in place,
+    regardless of difficulty); otherwise the whole action table is remapped
+    per difficulty (same np.random draw sequence as the reference)."""
+    if env.limited_actions_id is not None:
+        env.set_limited_actions_id(env.remap_action(env.limited_actions_id, 0))
+        return env
     new = _rewrap(env, _remap_actions(env._spec, difficulty))
     new._state = env._state
-    if hasattr(env, "limited_actions_id"):
-        new.limited_actions_id = new._spec.actions_id
     return new

@@ -55,6 +55,13 @@ class NGXEnv:
         self._renderer = None
         self.last_action = 0
         self.last_step_cost = 0.0
+        # LimitActions state (wrappers.py:57-85): when set, the agent-visible
+        # action space is Discrete(len(limited_actions_id)) and step ids are
+        # translated by NAME through the full spec table — names absent from
+        # the spec (e.g. a novelty action listed before its novelty is
+        # injected) fail with the reference's per-step assert.
+        self.limited_actions = None
+        self.limited_actions_id = None
 
     # -- identity / static tables ------------------------------------------
     @property
@@ -155,6 +162,8 @@ class NGXEnv:
 
     @property
     def action_space(self):
+        if self.limited_actions_id is not None:
+            return Discrete(len(self.limited_actions_id))
         return Discrete(self._spec.n_actions)
 
     @property
@@ -289,8 +298,59 @@ class NGXEnv:
         self.last_step_cost = 0.0
         return self.get_observation()
 
+    def _assert_limited_novelties(self, ids):
+        """The reference novelty wrappers assert their own actions survived
+        limiting on EVERY step when a LimitActions sits below
+        (novelty_wrappers.py:39-43,262-268,466-468,677-683,912-914,
+        1079-1081,1282-1284,1427-1429,1506-1511).  The reference raises on the
+        first post-wrap step; so does this."""
+        sp = self._spec
+        tag = sp.novelty_tag
+        if sp.axe_mode != S.AXE_NONE:
+            axe = sp.items[sp.axe_id]
+            required = sp.axe_mode == S.AXE_REQUIRED
+            if "Craft_" + axe in sp.actions:  # hard variants add the recipe
+                label = "AxetoBreakHard" if required else "AxeHard"
+                assert "Craft_" + axe in ids, (
+                    "Cannot use " + label + " novelty because you do not have "
+                    + "Craft_" + axe + " in LimitActions")
+            assert "Break" in ids, (
+                "Cannot use axetobreak novelty because you do not have Break "
+                "in LimitActions" if required else
+                "Cannot use breakincrease novelty_arg2 because you do not "
+                "have Break in LimitActions")
+        if sp.fence_restrict != S.FENCE_NONE:
+            assert "Break" in ids, ("Cannot use fencerestriction novelty "
+                                    "because you do not have Break in "
+                                    "LimitActions")
+        if sp.crate_id >= 0:
+            assert "Break" in ids, ("Cannot use crate novelty because you do "
+                                    "not have Break in LimitActions")
+        if "|addchop" in tag:
+            assert "Chop" in ids, ("Cannot use addchop novelty because you do "
+                                   "not have Chop in LimitActions")
+        if "|breakincrease" in tag:
+            assert "Break" in ids, ("Cannot use breakincrease novelty because "
+                                    "you do not have Break in LimitActions")
+        if "|extract-" in tag:
+            assert any(a.startswith("Extract") for a in ids), (
+                "Cannot use extractincdec novelty because you do not have "
+                "Extract action in LimitActions")
+
     def step(self, action_id: int):
         sp = self._spec
+        if self.limited_actions_id is not None:
+            # LimitActions.step (wrappers.py:74-83): compact id -> name ->
+            # full-table id, with the reference's per-step asserts
+            ids = self.limited_actions_id
+            self._assert_limited_novelties(ids)
+            assert int(action_id) in ids.values(), (
+                "Action ID " + str(action_id) + " is not valid, max"
+                "action ID is " + str(len(ids) - 1))
+            name = list(ids.keys())[list(ids.values()).index(int(action_id))]
+            assert name in sp.actions_id, \
+                name + " is not a valid action for " + self.env_id
+            action_id = sp.actions_id[name]
         if not 0 <= int(action_id) < sp.n_actions:
             raise AssertionError(
                 f"action_id {action_id} not in Discrete({sp.n_actions})")
@@ -410,7 +470,26 @@ class NGXEnv:
                     m[rr][cc] = fid
         self._state = self._state.replace(map=m.reshape(-1).astype(np.int32))
 
-    def remap_action(self):
+    def set_limited_actions_id(self, limited_actions_id):
+        """Reference LimitActions hook (wrappers.py:71-73)."""
+        self.limited_actions_id = dict(limited_actions_id)
+
+    def remap_action(self, actions_id=None, start_action_id=0):
+        """Reference signature (pogostick_v1_env.py:476-493): reshuffle the
+        given name->id dict (same np.random.shuffle draw loop) and return it.
+        With no argument, remaps this env's whole action table in place
+        (rebuilding the kernel for the new ordering)."""
+        if actions_id is not None:
+            actions_id = dict(actions_id)
+            while True:
+                actions = list(actions_id.keys())
+                np.random.shuffle(actions)
+                new = {actions[i - start_action_id]: i for i in
+                       range(start_action_id,
+                             start_action_id + len(actions))}
+                if actions_id != new:
+                    print("New remapped actions: ", new)
+                    return new
         from ..transforms.actions import remap_actions
         self._spec = remap_actions(self._spec, "hard")
         self._step, self._reset = _kernels(self._spec)

@@ -26,6 +26,11 @@ def _rewrap(env: NGXEnv, spec) -> NGXEnv:
     new._key = env._key
     if env._state is not None and spec.n_items == env._spec.n_items:
         new._state = env._state
+    # a LimitActions below survives any wrap above it (the reference stacks
+    # novelties over the limiter and reaches limited_actions_id by gym
+    # attribute forwarding, novelty_wrappers.py:39-43)
+    new.limited_actions = env.limited_actions
+    new.limited_actions_id = env.limited_actions_id
     return new
 
 
@@ -38,9 +43,17 @@ def AgentMap(env: NGXEnv) -> NGXEnv:
 
 
 def LimitActions(env: NGXEnv, limited_actions) -> NGXEnv:
-    new = _rewrap(env, T_actions.limit_actions(env._spec, limited_actions))
-    # reference attribute used by novelties/drivers (wrappers.py:66-67)
-    new.limited_actions_id = new._spec.actions_id
+    """Facade LimitActions (wrappers.py:57-85): per-step NAME translation over
+    the full spec, exactly like the reference — names are NOT validated at
+    construction (the reference allows pre-listing actions a later novelty
+    will add; stepping them before that raises the per-step assert), and a
+    novelty injected above does not grow the agent-visible space.  The pure
+    spec-gather transform (ngx.transforms.actions.limit_actions) remains the
+    batched/TPU path."""
+    new = _rewrap(env, env._spec)
+    new.limited_actions = set(limited_actions)
+    new.limited_actions_id = {a: i for i, a in
+                              enumerate(sorted(new.limited_actions))}
     return new
 
 

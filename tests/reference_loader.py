@@ -5,6 +5,7 @@ matplotlib API the (2020-era) reference expects, and exposes helpers to
 snapshot a reference env into an ngx EnvState.
 """
 
+import importlib.util
 import os
 import sys
 
@@ -13,34 +14,79 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 REFERENCE = os.environ.get("NGX_REFERENCE_PATH", "/root/reference")
 
-_loaded = False
+
+def _module_is_reference(mod) -> bool:
+    return (getattr(mod, "__file__", "") or "").startswith(REFERENCE)
 
 
 def load_reference():
-    global _loaded
-    if _loaded:
-        import gym_novel_gridworlds
-        return gym_novel_gridworlds
+    """Import the MOUNTED reference package by file path.
+
+    The repo ships its own drop-in package under the same import name
+    (``/root/repo/gym_novel_gridworlds``); importing by sys.path order could
+    silently pick that one up and conformance-test ngx against itself.  Here
+    the reference is loaded explicitly from ``REFERENCE`` (its absolute
+    intra-package imports resolve through the parent module's ``__path__``,
+    pinned to the reference dir), and any same-named modules from elsewhere
+    are purged from ``sys.modules`` first.
+    """
+    mod = sys.modules.get("gym_novel_gridworlds")
+    if mod is not None and _module_is_reference(mod):
+        return mod
+
     import matplotlib
     matplotlib.use("Agg", force=True)
     import matplotlib.cm as cm
     if not hasattr(cm, "get_cmap"):  # removed in matplotlib >= 3.9
         cm.get_cmap = matplotlib.colormaps.get
-    sys.path.insert(0, os.path.join(HERE, "_gym_shim"))
-    sys.path.insert(0, REFERENCE)
-    import gym_novel_gridworlds  # noqa: F401
-    _loaded = True
-    return gym_novel_gridworlds
+    shim = os.path.join(HERE, "_gym_shim")
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+
+    for name in [n for n in sys.modules
+                 if n.split(".")[0] == "gym_novel_gridworlds"]:
+        del sys.modules[name]
+
+    pkg_dir = os.path.join(REFERENCE, "gym_novel_gridworlds")
+    spec = importlib.util.spec_from_file_location(
+        "gym_novel_gridworlds", os.path.join(pkg_dir, "__init__.py"),
+        submodule_search_locations=[pkg_dir])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["gym_novel_gridworlds"] = mod
+    spec.loader.exec_module(mod)
+    assert _module_is_reference(mod), mod.__file__
+    return mod
 
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE)
 
 
-def make_ref_env(env_id: str):
+_ENV_CLASSES = {
+    "NovelGridworld-v0": "NovelGridworldV0Env",
+    "NovelGridworld-v1": "NovelGridworldV1Env",
+    "NovelGridworld-v2": "NovelGridworldV2Env",
+    "NovelGridworld-v3": "NovelGridworldV3Env",
+    "NovelGridworld-v4": "NovelGridworldV4Env",
+    "NovelGridworld-v5": "NovelGridworldV5Env",
+    "NovelGridworld-v6": "NovelGridworldV6Env",
+    "NovelGridworld-Bow-v0": "BowV0Env",
+    "NovelGridworld-Bow-v1": "BowV1Env",
+    "NovelGridworld-Pogostick-v0": "PogostickV0Env",
+    "NovelGridworld-Pogostick-v1": "PogostickV1Env",
+}
+
+
+def make_ref_env(env_id: str, **kwargs):
+    """Construct a reference env class directly (not via the gym registry,
+    whose shim table the repo's same-named drop-in package also writes to)."""
+    import importlib
+
     load_reference()
-    import gym
-    return gym.make(env_id)
+    # resolves through the pinned parent package's __path__ -> reference dir
+    envs = importlib.import_module("gym_novel_gridworlds.envs")
+    assert _module_is_reference(envs), envs.__file__
+    return getattr(envs, _ENV_CLASSES[env_id])(**kwargs)
 
 
 def snapshot_state(ref_env, spec):

@@ -1,0 +1,258 @@
+"""Wrapper-STACK conformance: novelty over LidarInFront over LimitActions —
+the reference's canonical driver stack (tests/random_action.py:16-42) — and
+map-size variation, bit-exact vs the mounted reference at facade level
+(mirrored resets included).
+
+The reference's novelty wrappers observe the stack (``limited_actions_id``
+duck-typing, per-step asserts, ``self.observation()`` calls —
+novelty_wrappers.py:39-43,88-91; SURVEY §2.4 "wrapper-stack protocol"), so
+behavior of the STACKED system differs from the bare env; these tests drive
+the composed stacks, not components.
+"""
+
+import numpy as np
+import pytest
+
+import ngx.compat as C
+from reference_loader import load_reference, make_ref_env, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def _ref_stack(env_id, limited, num_beams, novelty=None):
+    load_reference()
+    from gym_novel_gridworlds.wrappers import LimitActions as RefLimit
+    from gym_novel_gridworlds.observation_wrappers import LidarInFront as RefLidar
+    from gym_novel_gridworlds.novelty_wrappers import inject_novelty as ref_inject
+
+    env = RefLidar(RefLimit(make_ref_env(env_id), set(limited)), num_beams)
+    if novelty:
+        env = ref_inject(env, *novelty)
+    return env
+
+
+def _ngx_stack(env_id, limited, num_beams, novelty=None):
+    env = C.LidarInFront(C.LimitActions(C.make(env_id), set(limited)),
+                         num_beams)
+    if novelty:
+        env = C.inject_novelty(env, *novelty)
+    return env
+
+
+def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
+    np.random.seed(seed)
+    ref = _ref_stack(env_id, limited, num_beams, novelty)
+    np.random.seed(seed)
+    env = _ngx_stack(env_id, limited, num_beams, novelty)
+
+    np.random.seed(seed + 1)
+    ref_obs = ref.reset()
+    np.random.seed(seed + 1)
+    obs = env.reset()
+    np.testing.assert_array_equal(obs, np.asarray(ref_obs), err_msg="reset")
+    assert env.action_space.n == ref.action_space.n
+
+    rng = np.random.RandomState(seed + 2)
+    for t in range(n_steps):
+        a = int(rng.randint(env.action_space.n))
+        ro, rr, rd, ri = ref.step(a)
+        o, r, d, i = env.step(a)
+        np.testing.assert_array_equal(o, np.asarray(ro),
+                                      err_msg=f"obs at {t} (a={a})")
+        assert r == rr, f"reward {r} != {rr} at {t} (a={a})"
+        assert d == rd, f"done at {t}"
+        if ri:
+            assert i["result"] == ri["result"], f"result at {t}"
+            assert abs(i["step_cost"] - ri["step_cost"]) < 1e-3, \
+                f"step_cost {i['step_cost']} != {ri['step_cost']} at {t}"
+            assert i["message"] == ri["message"], \
+                f"message {i['message']!r} != {ri['message']!r} at {t}"
+        if rd:
+            np.random.seed(seed + 1000 + t)
+            ref_obs = ref.reset()
+            np.random.seed(seed + 1000 + t)
+            obs = env.reset()
+            np.testing.assert_array_equal(obs, np.asarray(ref_obs),
+                                          err_msg=f"re-reset at {t}")
+
+
+BOW_LIMIT = {"Forward", "Left", "Right", "Break", "Craft_bow",
+             "Extract_string"}
+POGO_LIMIT = {"Forward", "Left", "Right", "Break", "Craft_plank",
+              "Select_tree_log"}
+
+
+def test_stack_breakincrease_bow():
+    """random_action.py's shipped default: breakincrease medium on Bow-v0."""
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT, ("breakincrease", "medium"),
+          seed=0)
+
+
+def test_stack_axe_easy_pogostick():
+    """Axe over a limited stack: Select_wooden_axe is added to the base table
+    but stays outside the limited space (unreachable), so the axe is never
+    selected and Break keeps base cost — the stack, not the bare env."""
+    drive("NovelGridworld-Pogostick-v1", POGO_LIMIT,
+          ("axe", "easy", "wooden"), seed=3)
+
+
+def test_stack_axe_limited_with_select():
+    """The reference pattern of pre-listing a future novelty action in
+    LimitActions: Select_wooden_axe is limited-listed BEFORE the novelty
+    exists, becomes steppable after injection, and the axe break-discount
+    path (cost 1800) runs through the whole stack."""
+    limited = POGO_LIMIT | {"Select_wooden_axe"}
+    drive("NovelGridworld-Pogostick-v1", limited,
+          ("axe", "easy", "wooden"), seed=5, n_steps=300)
+
+
+def test_stack_fencerestriction():
+    drive("NovelGridworld-Pogostick-v1", POGO_LIMIT,
+          ("fencerestriction", "medium", "oak"), seed=7)
+
+
+def test_stack_crate():
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT, ("crate", "easy"), seed=9)
+
+
+def test_stack_firewall():
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT, ("firewall", "easy"), seed=11)
+
+
+def test_stack_no_novelty_4beams():
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT, None, seed=13, num_beams=4)
+
+
+def test_limited_missing_action_asserts_per_step():
+    """Stepping a limited id whose action does not exist yet raises the
+    reference's per-step assert, not a construction error
+    (wrappers.py:80: '<name> is not a valid action for <env_id>')."""
+    limited = {"Forward", "Break", "Select_wooden_axe"}
+    np.random.seed(1)
+    ref = _ref_stack("NovelGridworld-Pogostick-v1", limited, 8)
+    np.random.seed(1)
+    env = _ngx_stack("NovelGridworld-Pogostick-v1", limited, 8)
+    np.random.seed(2)
+    ref.reset()
+    np.random.seed(2)
+    env.reset()
+    missing_id = sorted(limited).index("Select_wooden_axe")
+    with pytest.raises(AssertionError) as e_ref:
+        ref.step(missing_id)
+    with pytest.raises(AssertionError) as e_ngx:
+        env.step(missing_id)
+    assert str(e_ngx.value) == str(e_ref.value)
+    # Forward still works on both
+    fid = sorted(limited).index("Forward")
+    _, rr, _, _ = ref.step(fid)
+    _, r, _, _ = env.step(fid)
+    assert r == rr
+
+
+def test_novelty_limited_assert_matches_reference():
+    """A novelty whose action did not survive limiting asserts on the first
+    step in both implementations, with the same message (e.g. fencerestriction
+    without Break, novelty_wrappers.py:912-914)."""
+    limited = {"Forward", "Left", "Right"}
+    np.random.seed(1)
+    ref = _ref_stack("NovelGridworld-Pogostick-v1", limited, 8,
+                     ("fencerestriction", "easy", "oak"))
+    np.random.seed(1)
+    env = _ngx_stack("NovelGridworld-Pogostick-v1", limited, 8,
+                     ("fencerestriction", "easy", "oak"))
+    np.random.seed(2)
+    ref.reset()
+    np.random.seed(2)
+    env.reset()
+    with pytest.raises(AssertionError) as e_ref:
+        ref.step(0)
+    with pytest.raises(AssertionError) as e_ngx:
+        env.step(0)
+    assert str(e_ngx.value) == str(e_ref.value)
+
+
+def test_remap_action_difficulty_limited_table():
+    """remap over a limited stack reshuffles ONLY the limited table, with the
+    reference's exact np.random draws (novelty_wrappers.py:1209-1210)."""
+    load_reference()
+    from gym_novel_gridworlds.novelty_wrappers import (
+        remap_action_difficulty as ref_remap)
+    import sys
+    # the repo's drop-in alias module (purged afterwards by reloading refs)
+    limited = {"Forward", "Left", "Right", "Break"}
+    np.random.seed(21)
+    ref = _ref_stack("NovelGridworld-Pogostick-v1", limited, 8)
+    np.random.seed(21)
+    env = _ngx_stack("NovelGridworld-Pogostick-v1", limited, 8)
+    np.random.seed(22)
+    ref.reset()
+    np.random.seed(22)
+    env.reset()
+
+    np.random.seed(23)
+    ref2 = ref_remap(ref, "easy")
+    np.random.seed(23)
+    env.set_limited_actions_id(env.remap_action(env.limited_actions_id, 0))
+    assert env.limited_actions_id == ref2.limited_actions_id
+    for a in range(4):
+        ro, rr, rd, _ = ref2.step(a)
+        o, r, d, _ = env.step(a)
+        np.testing.assert_array_equal(o, np.asarray(ro), err_msg=str(a))
+        assert r == rr and d == rd
+
+
+@pytest.mark.parametrize("map_size", [12, 15, 20])
+def test_map_size_variation(map_size):
+    """reset(map_size=N) conformance (random_action.py:62-65 re-resets with
+    random sizes; reset signature pogostick_v1_env.py:86)."""
+    env_id = "NovelGridworld-Pogostick-v1"
+    ref = make_ref_env(env_id)
+    env = C.make(env_id)
+    np.random.seed(map_size)
+    ref_obs = ref.reset(map_size=map_size)
+    np.random.seed(map_size)
+    obs = env.reset(map_size=map_size)
+    np.testing.assert_array_equal(obs["map"].reshape(map_size, map_size),
+                                  np.asarray(ref_obs["map"]))
+    rng = np.random.RandomState(map_size + 1)
+    for t in range(150):
+        a = int(rng.randint(env.action_space.n))
+        ro, rr, rd, ri = ref.step(a)
+        o, r, d, i = env.step(a)
+        assert r == rr and d == rd, f"t={t}"
+        assert i["message"] == ri["message"], f"t={t}"
+        np.testing.assert_array_equal(
+            np.asarray(o["map"]).ravel(), np.asarray(ro["map"]).ravel(),
+            err_msg=f"map at {t}")
+        if rd:
+            np.random.seed(map_size + 1000 + t)
+            ref.reset(map_size=map_size)
+            np.random.seed(map_size + 1000 + t)
+            env.reset(map_size=map_size)
+
+
+@pytest.mark.parametrize("map_size", [12, 17])
+def test_map_size_legacy_lidar(map_size):
+    """v0's lidar Box bound and beam fill depend on map size
+    (novel_gridworld_v0_env.py:136-173) — conformance off the default size."""
+    env_id = "NovelGridworld-v0"
+    ref = make_ref_env(env_id)
+    env = C.make(env_id)
+    np.random.seed(map_size)
+    ref_obs = ref.reset(map_size=map_size)
+    np.random.seed(map_size)
+    obs = env.reset(map_size=map_size)
+    np.testing.assert_array_equal(obs, np.asarray(ref_obs))
+    rng = np.random.RandomState(map_size + 1)
+    for t in range(100):
+        a = int(rng.randint(env.action_space.n))
+        ro, rr, rd, _ = ref.step(a)
+        o, r, d, _ = env.step(a)
+        np.testing.assert_array_equal(o, np.asarray(ro), err_msg=f"t={t}")
+        assert r == rr and d == rd
+        if rd:
+            np.random.seed(map_size + 1000 + t)
+            ref.reset(map_size=map_size)
+            np.random.seed(map_size + 1000 + t)
+            env.reset(map_size=map_size)

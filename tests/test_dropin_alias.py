@@ -6,8 +6,31 @@ or direct class construction (reference README.md usage block,
 top of the ngx engine.
 """
 
+import os
+import sys
+
 import numpy as np
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(autouse=True)
+def fresh_alias():
+    """The conformance suites load the MOUNTED reference under this same
+    module name (tests/reference_loader.py); purge it so these tests import
+    the repo's drop-in package, and purge again afterwards so later
+    load_reference() calls re-pin the reference."""
+    def purge():
+        for n in [n for n in sys.modules
+                  if n.split(".")[0] == "gym_novel_gridworlds"]:
+            del sys.modules[n]
+
+    purge()
+    import gym_novel_gridworlds as gnw
+    assert gnw.__file__.startswith(_REPO), gnw.__file__
+    yield
+    purge()
 
 
 def test_package_imports_reference_surface():
