@@ -288,15 +288,43 @@ class NGXEnv:
                 last_reward=prev.last_reward, last_done=prev.last_done)
             print("RESTORING LAST ENV ...")
         elif self.reset_mode == "mirror":
-            self._state = mirror_reset(sp)
+            self._state = mirror_reset(
+                sp.replace(reset_inv_set=None)
+                if sp.reset_inv_set is not None else sp)
         else:
             self._key, k = jax.random.split(self._key)
-            self._state, _ = self._reset(k)
+            reset_fn = (_kernels(sp.replace(reset_inv_set=None))[1]
+                        if sp.reset_inv_set is not None else self._reset)
+            self._state, _ = reset_fn(k)
 
-        self._prev_inventory = np.asarray(self._state.inventory)
+        # Post-reset inventory grant (AxeEasy et al.) applied HOST-side so the
+        # returned obs can reproduce the reference's materialization order:
+        # an array obs built below the novelty is computed before the grant
+        # (stale, novelty_wrappers.py:29-35), a dict obs aliases the live
+        # inventory and shows it (see EnvSpec.stale_reset_obs).
+        def _apply_grant():
+            setv = np.asarray(sp.reset_inv_set)
+            inv = np.asarray(self._state.inventory)
+            self._state = self._state.replace(
+                inventory=np.where(setv >= 0, setv, inv).astype(np.int32))
+
+        if sp.reset_inv_set is not None and not sp.stale_reset_obs:
+            _apply_grant()
         self.last_action = 0
         self.last_step_cost = 0.0
-        return self.get_observation()
+        base_mode = sp.base_obs_mode if sp.base_obs_mode >= 0 else sp.obs_mode
+        if sp.reset_obs_base and base_mode != sp.obs_mode:
+            # Fence/AddItem/ReplaceItem resets return the BASE env's
+            # observation, bypassing any obs wrapper in the stack
+            # (novelty_wrappers.py:885,1030,1146; EnvSpec.reset_obs_base)
+            sp_b = sp.replace(obs_mode=base_mode)
+            obs = self._decode_obs(make_step(sp_b).get_obs(self._state), sp_b)
+        else:
+            obs = self.get_observation()
+        if sp.reset_inv_set is not None and sp.stale_reset_obs:
+            _apply_grant()
+        self._prev_inventory = np.asarray(self._state.inventory)
+        return obs
 
     def _assert_limited_novelties(self, ids):
         """The reference novelty wrappers assert their own actions survived
@@ -319,7 +347,9 @@ class NGXEnv:
                 "in LimitActions" if required else
                 "Cannot use breakincrease novelty_arg2 because you do not "
                 "have Break in LimitActions")
-        if sp.fence_restrict != S.FENCE_NONE:
+        if "|fencerestr-" in tag:
+            # the reference asserts at ANY difficulty, including easy (which
+            # behaves as a plain fence) — novelty_wrappers.py:912-914
             assert "Break" in ids, ("Cannot use fencerestriction novelty "
                                     "because you do not have Break in "
                                     "LimitActions")
@@ -378,8 +408,9 @@ class NGXEnv:
         step = make_step(self._spec)  # get_obs is attached, cheap (no jit)
         return self._decode_obs(step.get_obs(self._state))
 
-    def _decode_obs(self, obs):
-        sp = self._spec
+    def _decode_obs(self, obs, sp=None):
+        if sp is None:
+            sp = self._spec
         if sp.obs_mode == S.OBS_DICT:
             return {
                 "map": np.asarray(obs["map"]),

@@ -206,9 +206,28 @@ class EnvSpec:
     # post-reset inventory overrides (AxeEasy re-grant etc.,
     # novelty_wrappers.py:29-35,664-673); -1 == leave unchanged
     reset_inv_set: Optional[np.ndarray] = None  # int32[I]
+    # The reference's axe-family resets mutate the inventory AFTER the inner
+    # reset already materialized the observation (novelty_wrappers.py:29-35:
+    # ``obs = self.env.reset()`` then ``inventory.update``), so when an
+    # array-building observation sits below the novelty (legacy lidar or a
+    # LidarInFront wrapper) the RETURNED reset obs shows the pre-grant
+    # inventory.  Dict observations (modern raw dict, AgentMap) alias the
+    # live inventory dict and therefore show the grant.  True == reproduce
+    # the stale reset obs.
+    stale_reset_obs: bool = False
 
     # --- observation ---------------------------------------------------------
     obs_mode: int = OBS_DICT
+    # obs mode of the BASE env under any observation wrapper (-1 == same as
+    # obs_mode).  Needed because Fence/AddItem/ReplaceItem resets return
+    # ``self.get_observation()``, which gym attribute-forwarding resolves to
+    # the BASE env's get_observation — bypassing any ObservationWrapper in
+    # the stack (novelty_wrappers.py:885,1030,1146) — see reset_obs_base.
+    base_obs_mode: int = -1
+    # True == reset() returns the base env's observation (raw dict for modern
+    # envs / built-in lidar for legacy) even when an observation transform is
+    # active; set by the fence/additem/replaceitem novelty families.
+    reset_obs_base: bool = False
     lidar_items: Tuple[str, ...] = ()   # legacy lidar item subset (v1-v5)
     lidar_num_beams: int = 8
     lidar_max_range: int = 40

@@ -122,13 +122,21 @@ def _spawn_add(sp: EnvSpec, item_id: int, qty: int) -> EnvSpec:
 
 
 def _inv_set(sp: EnvSpec, **by_name) -> EnvSpec:
-    """Post-reset inventory overwrites (AxeEasy re-grant etc.)."""
+    """Post-reset inventory overwrites (AxeEasy re-grant etc.).
+
+    The reference applies these AFTER the wrapped env's reset returned its
+    observation (novelty_wrappers.py:29-35,456-462,664-673), so an obs that
+    was materialized into an array below the novelty (legacy lidar obs or a
+    LidarInFront wrapper) shows the pre-grant inventory at reset — flag
+    ``stale_reset_obs`` reproduces that (see EnvSpec)."""
     setv = (np.asarray(sp.reset_inv_set).copy()
             if sp.reset_inv_set is not None
             else np.full((sp.n_items,), -1, np.int32))
     for name, q in by_name.items():
         setv[sp.items.index(name)] = q
-    return sp.replace(reset_inv_set=setv)
+    stale = sp.obs_mode in (S.OBS_LIDAR_V0, S.OBS_LIDAR_INV,
+                            S.OBS_LIDAR_FRONT)
+    return sp.replace(reset_inv_set=setv, stale_reset_obs=stale)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +217,9 @@ def _fence(sp, difficulty, material) -> EnvSpec:
     lo, hi = _FENCE_RANGES[difficulty]
     return sp.replace(
         reset_fence=(sp.items.index(fence), lo, hi),
+        # Fence.reset returns self.get_observation() — gym forwarding hits
+        # the BASE env, bypassing any obs wrapper (novelty_wrappers.py:885)
+        reset_obs_base=True,
         novelty_tag=sp.novelty_tag + f"|fence-{difficulty}-{material}",
     )
 
@@ -232,6 +243,8 @@ def _additem(sp, difficulty, item) -> EnvSpec:
     lo, hi = _ADDITEM_RANGES[difficulty]
     return sp.replace(
         reset_additem=(sp.items.index(item), lo, hi),
+        # AddItem.reset returns the base env's obs (novelty_wrappers.py:1030)
+        reset_obs_base=True,
         novelty_tag=sp.novelty_tag + f"|additem-{difficulty}-{item}",
     )
 
@@ -281,6 +294,9 @@ def _replaceitem(sp, difficulty, old, new) -> EnvSpec:
     lo, hi = _REPLACE_RANGES[difficulty]
     return sp.replace(
         reset_replace=(sp.items.index(old), sp.items.index(new), lo, hi),
+        # ReplaceItem.reset returns env.get_observation() — the base env's
+        # obs, bypassing any obs wrapper (novelty_wrappers.py:1146)
+        reset_obs_base=True,
         novelty_tag=sp.novelty_tag + f"|replace-{difficulty}-{old}-{new}",
     )
 

@@ -49,9 +49,11 @@ def make_lidar_fn(sp: S.EnvSpec):
     core observation (OBS_LIDAR_V0 / OBS_LIDAR_INV)."""
     H = sp.map_size
     if sp.obs_mode == S.OBS_LIDAR_V0:
-        # novel_gridworld_v0_env.py:52-57 — 5 beams, 180°, per-item fill
+        # novel_gridworld_v0_env.py:52-57 — 5 beams, 180°, per-item fill.
+        # The fill value is max_beam_range FROZEN at construction (:54);
+        # reset(map_size=N) keeps the original (spec.lidar_max_range).
         num_beams = sp.lidar_num_beams
-        max_range = int(np.sqrt(2 * (H - 2) ** 2))
+        max_range = sp.lidar_max_range
         # unbounded while-loop in the reference; wall ring guarantees a hit
         # within the map diameter, so 2*H steps always suffice
         table = beam_offsets(num_beams, 2 * H, full_circle=False)
@@ -63,9 +65,11 @@ def make_lidar_fn(sp: S.EnvSpec):
         # = hypotenuse of the interior square, 0-fill.  The item subset is the
         # wrap-time snapshot stored by ngx.transforms.lidar_in_front (items a
         # novelty appends afterwards don't get beams, matching the reference
-        # wrapper whose lidar_items freeze at construction).
+        # wrapper whose lidar_items freeze at construction).  max_beam_range
+        # is likewise frozen at wrap time (observation_wrappers.py:25) and
+        # carried in spec.lidar_max_range — not recomputed from map_size.
         num_beams = sp.lidar_num_beams
-        max_range = int(np.sqrt(2 * (H - 2) ** 2))
+        max_range = sp.lidar_max_range
         table = beam_offsets(num_beams, max_range, full_circle=True)
         lidar_sorted = sorted(sp.lidar_items)
         n_slots = len(lidar_sorted)

@@ -146,6 +146,9 @@ def novelgridworld_v0(map_size=10) -> EnvSpec:
         items=("crafting_table", "wall"), recipes={},
         obs_mode=S.OBS_LIDAR_V0, num_beams=5,
         map_size=map_size,
+        # hypotenuse of the interior square, frozen at construction
+        # (novel_gridworld_v0_env.py:54) — later reset(map_size=N) keeps it
+        max_beam_range=int(np.sqrt(2 * (map_size - 2) ** 2)),
     )
 
 

@@ -40,6 +40,24 @@ def _ngx_stack(env_id, limited, num_beams, novelty=None):
     return env
 
 
+def assert_obs_equal(obs, ref_obs, msg):
+    """Obs compare that also handles the raw-dict reset obs the
+    fence/additem/replaceitem novelties return through the stack
+    (novelty_wrappers.py:885,1030,1146)."""
+    if isinstance(ref_obs, dict):
+        assert isinstance(obs, dict), f"{msg}: expected dict obs"
+        assert set(obs) == set(ref_obs), f"{msg}: keys"
+        for k, rv in ref_obs.items():
+            if isinstance(rv, dict):
+                assert obs[k] == rv, f"{msg}: {k}"
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(obs[k]).ravel(), np.asarray(rv).ravel(),
+                    err_msg=f"{msg}: {k}")
+    else:
+        np.testing.assert_array_equal(obs, np.asarray(ref_obs), err_msg=msg)
+
+
 def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
     np.random.seed(seed)
     ref = _ref_stack(env_id, limited, num_beams, novelty)
@@ -50,7 +68,7 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
     ref_obs = ref.reset()
     np.random.seed(seed + 1)
     obs = env.reset()
-    np.testing.assert_array_equal(obs, np.asarray(ref_obs), err_msg="reset")
+    assert_obs_equal(obs, ref_obs, "reset")
     assert env.action_space.n == ref.action_space.n
 
     rng = np.random.RandomState(seed + 2)
@@ -58,8 +76,7 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
         a = int(rng.randint(env.action_space.n))
         ro, rr, rd, ri = ref.step(a)
         o, r, d, i = env.step(a)
-        np.testing.assert_array_equal(o, np.asarray(ro),
-                                      err_msg=f"obs at {t} (a={a})")
+        assert_obs_equal(o, ro, f"obs at {t} (a={a})")
         assert r == rr, f"reward {r} != {rr} at {t} (a={a})"
         assert d == rd, f"done at {t}"
         if ri:
@@ -73,8 +90,7 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
             ref_obs = ref.reset()
             np.random.seed(seed + 1000 + t)
             obs = env.reset()
-            np.testing.assert_array_equal(obs, np.asarray(ref_obs),
-                                          err_msg=f"re-reset at {t}")
+            assert_obs_equal(obs, ref_obs, f"re-reset at {t}")
 
 
 BOW_LIMIT = {"Forward", "Left", "Right", "Break", "Craft_bow",
@@ -105,6 +121,44 @@ def test_stack_axe_limited_with_select():
     limited = POGO_LIMIT | {"Select_wooden_axe"}
     drive("NovelGridworld-Pogostick-v1", limited,
           ("axe", "easy", "wooden"), seed=5, n_steps=300)
+
+
+def test_stack_axetobreak_hard_stale_grant():
+    """AxetoBreakHard re-grants recipe ingredients AFTER the inner reset
+    materialized the lidar obs (novelty_wrappers.py:664-673) — the reset obs
+    must show the pre-grant inventory (stick=0, plank=0), the first step obs
+    the granted one."""
+    limited = POGO_LIMIT | {"Craft_wooden_axe", "Select_wooden_axe"}
+    drive("NovelGridworld-Pogostick-v1", limited,
+          ("axetobreak", "hard", "wooden"), seed=17, n_steps=300)
+
+
+def test_lidar_range_frozen_across_map_size():
+    """LidarInFront's max_beam_range freezes at wrap time
+    (observation_wrappers.py:25): growing the map via reset(map_size=N)
+    keeps the original beam bound in both implementations."""
+    load_reference()
+    from gym_novel_gridworlds.observation_wrappers import LidarInFront as RL
+    ref = RL(make_ref_env("NovelGridworld-Pogostick-v1"), 8)
+    env = C.LidarInFront(C.make("NovelGridworld-Pogostick-v1"), 8)
+    for sz in (10, 16, 13):
+        np.random.seed(sz)
+        ref_obs = ref.reset(map_size=sz)
+        np.random.seed(sz)
+        obs = env.reset(map_size=sz)
+        assert_obs_equal(obs, ref_obs, f"reset size={sz}")
+        rng = np.random.RandomState(sz + 1)
+        for t in range(60):
+            a = int(rng.randint(env.action_space.n))
+            ro, rr, rd, _ = ref.step(a)
+            o, r, d, _ = env.step(a)
+            assert_obs_equal(o, ro, f"size={sz} t={t}")
+            assert r == rr and d == rd
+            if rd:
+                np.random.seed(sz + 100 + t)
+                ref.reset(map_size=sz)
+                np.random.seed(sz + 100 + t)
+                env.reset(map_size=sz)
 
 
 def test_stack_fencerestriction():
