@@ -28,6 +28,7 @@ from .messages import decode_message
 from .spaces import Box, Dict, Discrete
 
 _KERNEL_CACHE = {}
+_GET_OBS_CACHE = {}
 
 
 def _kernels(spec):
@@ -36,6 +37,15 @@ def _kernels(spec):
         _KERNEL_CACHE[key] = (jax.jit(make_step(spec)),
                               jax.jit(make_reset(spec)))
     return _KERNEL_CACHE[key]
+
+
+def _get_obs_fn(spec):
+    """Cached un-jitted ``get_obs`` for ``spec`` — building ``make_step`` per
+    observation call is pure waste for anyone driving the facade in a loop."""
+    key = spec.key
+    if key not in _GET_OBS_CACHE:
+        _GET_OBS_CACHE[key] = make_step(spec).get_obs
+    return _GET_OBS_CACHE[key]
 
 
 class NGXEnv:
@@ -318,7 +328,7 @@ class NGXEnv:
             # observation, bypassing any obs wrapper in the stack
             # (novelty_wrappers.py:885,1030,1146; EnvSpec.reset_obs_base)
             sp_b = sp.replace(obs_mode=base_mode)
-            obs = self._decode_obs(make_step(sp_b).get_obs(self._state), sp_b)
+            obs = self._decode_obs(_get_obs_fn(sp_b)(self._state), sp_b)
         else:
             obs = self.get_observation()
         if sp.reset_inv_set is not None and sp.stale_reset_obs:
@@ -405,8 +415,7 @@ class NGXEnv:
     def get_observation(self):
         if self._state is None:
             raise RuntimeError("reset() the env first")
-        step = make_step(self._spec)  # get_obs is attached, cheap (no jit)
-        return self._decode_obs(step.get_obs(self._state))
+        return self._decode_obs(_get_obs_fn(self._spec)(self._state))
 
     def _decode_obs(self, obs, sp=None):
         if sp is None:
@@ -509,7 +518,12 @@ class NGXEnv:
         """Reference signature (pogostick_v1_env.py:476-493): reshuffle the
         given name->id dict (same np.random.shuffle draw loop) and return it.
         With no argument, remaps this env's whole action table in place
-        (rebuilding the kernel for the new ordering)."""
+        (rebuilding the kernel for the new ordering).  v0 is special: the
+        reference's ``NovelGridworldV0Env.remap_action`` takes no argument and
+        shuffles ``action_str`` with the **stdlib** ``random.shuffle``
+        (novel_gridworld_v0_env.py:271-285, the repo's only stdlib-RNG site),
+        so a user who seeds ``random.seed(s)`` must get the reference's
+        permutation."""
         if actions_id is not None:
             actions_id = dict(actions_id)
             while True:
@@ -521,6 +535,21 @@ class NGXEnv:
                 if actions_id != new:
                     print("New remapped actions: ", new)
                     return new
+        if self.env_id == "NovelGridworld-v0":
+            import random
+            action_str = self.action_str
+            while True:
+                actions = list(action_str.values())
+                random.shuffle(actions)
+                new = {i: a for i, a in enumerate(actions)}
+                if action_str != new:
+                    break
+            from .. import transforms
+            self._spec = transforms.actions._gather_actions(
+                self._spec, [new[i] for i in range(len(new))], "|remap-v0")
+            self._step, self._reset = _kernels(self._spec)
+            print("New remapped actions: ", self.action_str)
+            return self.action_str
         from ..transforms.actions import remap_actions
         self._spec = remap_actions(self._spec, "hard")
         self._step, self._reset = _kernels(self._spec)

@@ -322,3 +322,51 @@ def test_block_item_wrapper():
         for rr in (r0 - 1, r0, r0 + 1):
             for cc in (c0 - 1, c0, c0 + 1):
                 assert mm[rr][cc] != 0 or (rr, cc) == w.agent_location
+
+
+def test_v0_remap_action_stdlib_random():
+    """v0's remap_action draws from the STDLIB random module — the only
+    stdlib-RNG site in the reference (novel_gridworld_v0_env.py:271-285).
+    Seeding random.seed(s) must yield the reference's permutation."""
+    import random
+
+    for seed in (0, 7, 123):
+        ref = make_ref_env("NovelGridworld-v0")
+        random.seed(seed)
+        np.random.seed(seed)  # must NOT be consumed by the v0 path
+        np_state = np.random.get_state()
+        ref.remap_action()
+        ref_map = dict(ref.action_str)
+
+        env = C.make("NovelGridworld-v0")
+        random.seed(seed)
+        got = env.remap_action()
+        assert got == ref_map, (seed, got, ref_map)
+        assert env.action_str == ref_map
+        # the numpy stream is untouched (the reference never touches it here)
+        random.seed(seed)
+        env2 = C.make("NovelGridworld-v0")
+        np.random.set_state(np_state)
+        env2.remap_action()
+        assert np.random.get_state()[1][0] == np_state[1][0]
+
+        # the remapped table actually drives dispatch: stepping 'Forward' by
+        # its NEW id moves like the reference
+        np.random.seed(seed)
+        ref2 = make_ref_env("NovelGridworld-v0")
+        ref2.reset()
+        random.seed(seed)
+        ref2.remap_action()
+        fwd_id = [i for i, n in ref2.action_str.items() if n == "Forward"][0]
+        ref_out = ref2.step(fwd_id)
+
+        np.random.seed(seed)
+        env3 = C.make("NovelGridworld-v0")
+        env3.reset()
+        random.seed(seed)
+        env3.remap_action()
+        assert env3.action_str[fwd_id] == "Forward"
+        out = env3.step(fwd_id)
+        compare_obs(out[0], ref_out[0], 0)
+        assert float(out[1]) == float(ref_out[1])
+        assert bool(out[2]) == bool(ref_out[2])
