@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("-episode_cap", type=int, default=100)
     p.add_argument("-log", default="results/run")
     p.add_argument("-ckpt", default="")
+    p.add_argument("-pretrain", default="",
+                   help="expert-demo .npz (from ngx.cli.record_demos) for a "
+                        "behavior-cloning warm start (reference "
+                        "tests/train.py:125-132)")
+    p.add_argument("-pretrain_steps", type=int, default=500)
     p.add_argument("-inject_novelty_at", type=int, default=0,
                    help="inject -novelty after this many env steps (0=off)")
     p.add_argument("-novelty", default="remapaction")
@@ -59,6 +64,18 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     init, train_step = make_train(cfg)
     carry = init(key)
+    if args.pretrain:
+        from ngx.rl.bc import pretrain_from_npz
+        from ngx.rl.models import ActorCritic
+        import ngx
+        from ngx.transforms import lidar_in_front
+        spec = lidar_in_front(ngx.make_spec(args.env))
+        model = ActorCritic(n_actions=spec.n_actions, hidden=cfg.hidden)
+        ts = carry[0]
+        params, m = pretrain_from_npz(model, ts.params, args.pretrain,
+                                      steps=args.pretrain_steps)
+        print(f"BC pretrain: loss={m['loss']:.3f} acc={m['accuracy']:.2%}")
+        carry = (ts.replace(params=params),) + carry[1:]
     step = jax.jit(train_step)
     best = -float("inf")
 

@@ -1,0 +1,99 @@
+"""Batched on-device policy evaluation.
+
+The reference evaluates agents with a host Python loop, one env, 100-step cap
+(reference ``enjoy.py:87,107``).  Here the whole evaluation — B independent
+episodes, policy forward pass, env step, first-done bookkeeping — is ONE
+jitted ``lax.scan``: evaluating 100+ episodes costs about as much as stepping
+a single env for 100 steps on the host.
+
+An episode is "solved" when it terminates before the cap with a positive
+terminal reward (the goal step pays ``reward_done``=+50 on every env,
+SURVEY.md §2.2; the non-goal terminations — v2's dead-end done at −1,
+FireWall death at −25 — are negative, so the sign test separates them).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import spec as S
+from ..transforms import lidar_in_front
+from ..vector import make_vec
+from .models import ActorCritic
+
+
+def make_eval(spec, hidden=(64, 64), cap: int = 100):
+    """Build ``run(params, key, episodes) -> metrics`` for ``spec``.
+
+    ``params=None`` evaluates the uniform-random policy (the baseline the
+    reference's random_action.py driver amounts to).  Observations follow the
+    training setup: LidarInFront over the base spec (reference trains SB2 on
+    exactly that, ``tests/train.py:104-122``).
+    """
+    if spec.obs_mode != S.OBS_LIDAR_FRONT:
+        spec = lidar_in_front(spec)
+    vec = make_vec(spec)
+    model = ActorCritic(n_actions=spec.n_actions, hidden=tuple(hidden))
+    n_actions = spec.n_actions
+
+    def run(params, key, episodes: int):
+        @jax.jit
+        def _run(key):
+            k0, k1 = jax.random.split(key)
+            state, obs = vec.reset(jax.random.split(k0, episodes))
+
+            def body(carry, key_t):
+                state, obs, ret, length, done_ever, solved = carry
+                k_act, k_reset = jax.random.split(key_t)
+                if params is None:
+                    action = jax.random.randint(
+                        k_act, (episodes,), 0, n_actions)
+                else:
+                    logits, _ = model.apply(
+                        params, obs.astype(jnp.float32))
+                    action = jax.random.categorical(k_act, logits)
+                state, obs, r, done, _ = vec.step(
+                    state, action, jax.random.split(k_reset, episodes))
+                active = ~done_ever
+                ret = ret + jnp.where(active, r, 0.0)
+                length = length + active.astype(jnp.int32)
+                solved = solved | (active & done & (r > 0))
+                done_ever = done_ever | done
+                return (state, obs, ret, length, done_ever, solved), None
+
+            z = jnp.zeros((episodes,))
+            carry = (state, obs, z, z.astype(jnp.int32),
+                     jnp.zeros((episodes,), bool), jnp.zeros((episodes,), bool))
+            (_, _, ret, length, done_ever, solved), _ = jax.lax.scan(
+                body, carry, jax.random.split(k1, cap))
+            return {
+                "mean_return": ret.mean(),
+                "solve_rate": solved.mean(),
+                "done_rate": done_ever.mean(),
+                "mean_length": length.astype(jnp.float32).mean(),
+            }
+
+        return {k: float(v) for k, v in _run(key).items()}
+
+    return run
+
+
+def evaluate_checkpoint(env_id: str, ckpt_path: str, episodes: int = 128,
+                        cap: int = 100, seed: int = 0):
+    """Evaluate a saved agent and the random baseline on ``env_id``.
+
+    Returns {'trained': {...}, 'random': {...}} metric dicts.
+    """
+    import ngx
+    from ..utils.checkpoint import restore_pytree
+
+    spec = ngx.make_spec(env_id)
+    tree = restore_pytree(ckpt_path)
+    hidden = tuple(tree.get("config", {}).get("hidden", (64, 64)))
+    run = make_eval(spec, hidden=hidden, cap=cap)
+    key = jax.random.key(seed)
+    return {
+        "trained": run(tree["params"], key, episodes),
+        "random": run(None, jax.random.fold_in(key, 1), episodes),
+    }
