@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("-num_envs", type=int, default=512)
     p.add_argument("-rollout", type=int, default=64)
     p.add_argument("-lr", type=float, default=2.5e-4)
+    p.add_argument("-ent_coef", type=float, default=0.01)
+    p.add_argument("-epochs", type=int, default=4)
     p.add_argument("-episode_cap", type=int, default=100)
     p.add_argument("-log", default="results/run")
     p.add_argument("-ckpt", default="")
@@ -47,6 +49,7 @@ def main(argv=None):
 
     cfg = PPOConfig(env_id=args.env, num_envs=args.num_envs,
                     rollout_steps=args.rollout, lr=args.lr,
+                    ent_coef=args.ent_coef, epochs=args.epochs,
                     episode_cap=args.episode_cap)
     steps_per_update = cfg.num_envs * cfg.rollout_steps
     num_updates = max(1, args.steps // steps_per_update)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from . import spec as S
 from .state import EnvState
+from ..utils import debug
 
 
 def _interior_cells(H: int) -> np.ndarray:
@@ -200,6 +201,14 @@ def make_reset(sp: S.EnvSpec):
             last_done=jnp.asarray(False),
         )
         return state, get_obs(state)
+
+    if debug.enabled():
+        inner_reset = reset
+
+        def reset(key) -> EnvState:  # noqa: F811 — debug wrapper
+            state, obs = inner_reset(key)
+            debug.kernel_asserts(sp, state, "reset")
+            return state, obs
 
     return reset
 

@@ -38,6 +38,7 @@ import numpy as np
 
 from . import spec as S
 from .state import EnvState, StepInfo
+from ..utils import debug
 
 
 def _goal_check(sp: S.EnvSpec, inv, front_after):
@@ -631,6 +632,18 @@ def make_step(sp: S.EnvSpec, with_obs: bool = True):
         obs = get_obs(new_state) if with_obs else None
         info = StepInfo(result=result, step_cost=cost, msg_code=msg, msg_arg=msg_arg)
         return new_state, obs, reward, done, info
+
+    if debug.enabled():
+        inner_step = step
+
+        def step(state: EnvState, action):  # noqa: F811 — debug wrapper
+            debug.validate_state(sp, state)
+            out = inner_step(state, action)
+            debug.kernel_asserts(sp, out[0], "step")
+            return out
+
+        step.get_obs = get_obs
+        return step
 
     step.get_obs = get_obs
     return step
