@@ -59,14 +59,22 @@ _R, _C, _FACE, _SEL, _CNT, _LACT, _LDONE, _PAD = range(8)
 
 
 def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
-                        action_source: str = "prng", interpret: bool = False):
+                        action_source: str = "prng", interpret: bool = False,
+                        policy_params=None):
     """Build ``run(seed[, actions]) -> (EnvState[batch], mean_reward, n_done)``.
 
     ``action_source='prng'``: uniform-random actions drawn on-core (bench
     mode, zero HBM traffic).  ``action_source='input'``: the caller passes
     ``actions: int32[T, batch]`` — used by the parity tests so the XLA scan
     and this kernel can be driven with identical action streams.
+    ``action_source='policy'``: the FUSED policy+env rollout — actions come
+    from an MLP actor (``policy_params``, the flax ActorCritic tree) applied
+    to the LidarInFront observation, with the lidar, the policy matmuls (MXU)
+    and the Gumbel-argmax sample all computed inside the kernel; the whole
+    PPO acting loop runs on-core with zero HBM round-trips.  Requires
+    ``sp.obs_mode == OBS_LIDAR_FRONT`` (apply ngx.transforms.lidar_in_front).
     """
+    assert action_source in ("prng", "input", "policy"), action_source
     assert supports_pallas_rollout(sp), sp.env_id
     assert batch % block == 0, (batch, block)
     H, I, A = sp.map_size, sp.n_items, sp.n_actions
@@ -75,6 +83,108 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
     nblk = batch // block
 
     vstep = jax.vmap(make_step(sp, with_obs=False))
+
+    POLICY = action_source == "policy"
+    if POLICY:
+        # ---- host tables for the in-kernel LidarInFront observation --------
+        # The 8 full-circle beams sweep the SAME compass directions for every
+        # facing (linspace(rad-pi, rad+pi) mod 2pi is facing-invariant,
+        # observation_wrappers.py:42) — facing only permutes which direction
+        # lands in which beam slot.  So the kernel computes 8 per-direction
+        # first-hits once and applies a static per-facing column permutation.
+        from .rays import beam_offsets
+        assert sp.obs_mode == S.OBS_LIDAR_FRONT, \
+            "policy rollout needs a lidar_in_front spec"
+        NB, K = sp.lidar_num_beams, sp.lidar_max_range
+        _tb = beam_offsets(NB, K, full_circle=True)        # [4, NB, K, 2]
+        PERM = np.zeros((4, NB), np.int64)
+        for _f in range(4):
+            for _b in range(NB):
+                _m = [d for d in range(NB)
+                      if np.array_equal(_tb[_f, _b], _tb[0, d])]
+                assert _m, "beam/direction decomposition failed"
+                PERM[_f, _b] = _m[0]
+        DIRS = _tb[0]                                      # [NB, K, 2]
+        _sorted = sorted(sp.lidar_items)
+        N_SLOTS = len(_sorted)
+        SLOT_OF_ITEM = np.full((I,), -1, np.int64)
+        for _i, _n in enumerate(sp.items):
+            if _n in _sorted:
+                SLOT_OF_ITEM[_i] = _sorted.index(_n)
+        KEEP = [i for _, i in sorted((n, i) for i, n in enumerate(sp.items))
+                if not sp.unbreakable[i]]
+        OBS_DIM = NB * N_SLOTS + len(KEEP)
+        # flax ActorCritic pi tower -> plain numpy (becomes hoisted consts)
+        _pp = policy_params.get("params", policy_params)
+        _nh = sum(1 for k in _pp if k.startswith("pi_") and k != "pi_out")
+        PI_LAYERS = [(np.asarray(_pp[f"pi_{i}"]["kernel"], np.float32),
+                      np.asarray(_pp[f"pi_{i}"]["bias"], np.float32))
+                     for i in range(_nh)]
+        PI_OUT = (np.asarray(_pp["pi_out"]["kernel"], np.float32),
+                  np.asarray(_pp["pi_out"]["bias"], np.float32))
+        assert PI_LAYERS[0][0].shape[0] == OBS_DIM, \
+            (PI_LAYERS[0][0].shape, OBS_DIM)
+        assert PI_OUT[0].shape[1] == A, (PI_OUT[0].shape, A)
+
+        def _lidar_front_obs(st):
+            """LidarInFront obs [TB, OBS_DIM] f32, Mosaic-lowerable: one-hot
+            map reads (no gathers), static permutations, column stacks.
+            Same probe sequence/rounding as ngx.ops.rays.make_lidar_fn."""
+            m, r, c, f = st.map, st.agent[:, 0], st.agent[:, 1], st.facing
+            iota_hw = jnp.asarray(IOTA_HW)[None, :]
+            dist_d, hv_d = [], []
+            for d in range(NB):
+                found = jnp.zeros((TB,), jnp.int32)
+                dist = jnp.zeros((TB,), jnp.int32)
+                hv = jnp.zeros((TB,), jnp.int32)
+                for k in range(K):
+                    dr, dc = int(DIRS[d, k, 0]), int(DIRS[d, k, 1])
+                    rr = jnp.clip(r + dr, 0, H - 1)
+                    cc = jnp.clip(c + dc, 0, H - 1)
+                    p = rr * H + cc
+                    v = jnp.sum(jnp.where(iota_hw == p[:, None], m, 0), axis=1)
+                    new = (found == 0) & (v != 0)
+                    dist = jnp.where(new, k + 1, dist)
+                    hv = jnp.where(new, v, hv)
+                    found = jnp.where(new, 1, found)
+                dist_d.append(dist)
+                hv_d.append(hv)
+            dist_dir = jnp.stack(dist_d, axis=1)           # [TB, NB]
+            hv_dir = jnp.stack(hv_d, axis=1)
+            fb_dist = jnp.zeros((TB, NB), jnp.int32)
+            fb_hv = jnp.zeros((TB, NB), jnp.int32)
+            for fc_ in range(4):                           # static beam perm
+                sel = jnp.where(f == fc_, 1, 0)[:, None]
+                pd_ = jnp.stack([dist_dir[:, int(PERM[fc_, b])]
+                                 for b in range(NB)], axis=1)
+                ph_ = jnp.stack([hv_dir[:, int(PERM[fc_, b])]
+                                 for b in range(NB)], axis=1)
+                fb_dist = fb_dist + sel * pd_
+                fb_hv = fb_hv + sel * ph_
+            slot = jnp.full((TB, NB), -1, jnp.int32)
+            for i in range(I):                             # tiny item table
+                if SLOT_OF_ITEM[i] >= 0:
+                    slot = jnp.where(fb_hv == i,
+                                     jnp.int32(SLOT_OF_ITEM[i]), slot)
+            cols = []
+            for b in range(NB):
+                for s_ in range(N_SLOTS):
+                    cols.append(jnp.where(
+                        (fb_dist[:, b] > 0) & (slot[:, b] == s_),
+                        fb_dist[:, b], 0))
+            for i in KEEP:
+                cols.append(st.inventory[:, i])
+            return jnp.stack(cols, axis=1).astype(jnp.float32)
+
+        def _policy_logits(st):
+            h = _lidar_front_obs(st)
+            for W, bvec in PI_LAYERS:                      # MXU matmuls
+                h = jnp.tanh(jnp.dot(h, jnp.asarray(W),
+                                     preferred_element_type=jnp.float32)
+                             + jnp.asarray(bvec)[None, :])
+            return (jnp.dot(h, jnp.asarray(PI_OUT[0]),
+                            preferred_element_type=jnp.float32)
+                    + jnp.asarray(PI_OUT[1])[None, :])
 
     # ---- host constants (embedded in the kernel at trace time) ------------
     wall = sp.items.index("wall") if "wall" in sp.items else 0
@@ -267,6 +377,17 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
         ctr = t + 1
         if WITH_INPUT:
             a = acts_row
+        elif POLICY:
+            # Gumbel-argmax == categorical(logits); argmax via the same
+            # max + min-index trick as _pick_uniform_valid (Mosaic-safe)
+            logits = _policy_logits(st)
+            u = _u01(seed, ctr, 5, (TB, A))
+            score = logits - jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+            mx = jnp.max(score, axis=1, keepdims=True)
+            cand = score >= mx
+            a = jnp.min(jnp.where(cand,
+                                  jnp.asarray(np.arange(A, dtype=np.int32))[None, :],
+                                  A), axis=1)
         else:
             a = _randint(seed, ctr, 1, (TB, 1), A)[:, 0]
         ns, _, r, done, _info = vstep(st, a)
@@ -414,5 +535,50 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
         denom = max(batch * steps, 1)
         return (state, jnp.sum(fregs[:, 2]) / denom,
                 jnp.sum(iregs[:, _PAD]))
+
+    if POLICY:
+        # test hooks: the SAME traced obs/logits code, runnable as plain jnp
+        # on a [TB]-batched EnvState (parity vs rays.make_lidar_fn + flax)
+        run.lidar_obs_fn = _lidar_front_obs
+        run.policy_logits_fn = _policy_logits
+        run.obs_dim = OBS_DIM
+    return run
+
+
+def make_xla_policy_rollout(sp, policy_params, batch: int, steps: int):
+    """The un-fused comparator for the policy rollout benchmark: one jit of
+    ``lax.scan`` over (policy MLP -> vmapped env step with LidarInFront obs)
+    — exactly the acting loop ngx.rl.train's PPO uses, minus trajectory
+    stacking.  Same MLP arithmetic as the Pallas 'policy' kernel."""
+    from ..vector import make_vec
+
+    assert sp.obs_mode == S.OBS_LIDAR_FRONT
+    vec = make_vec(sp)
+    pp = policy_params.get("params", policy_params)
+    nh = sum(1 for k in pp if k.startswith("pi_") and k != "pi_out")
+
+    def apply(obs):
+        h = obs
+        for i in range(nh):
+            h = jnp.tanh(h @ pp[f"pi_{i}"]["kernel"] + pp[f"pi_{i}"]["bias"])
+        return h @ pp["pi_out"]["kernel"] + pp["pi_out"]["bias"]
+
+    @jax.jit
+    def run(key):
+        k0, k1 = jax.random.split(key)
+        state, obs = vec.reset(jax.random.split(k0, batch))
+
+        def body(carry, key_t):
+            state, obs, rs, ds = carry
+            ka, kr = jax.random.split(key_t)
+            a = jax.random.categorical(ka, apply(obs.astype(jnp.float32)))
+            state, obs, r, done, _ = vec.step(
+                state, a, jax.random.split(kr, batch))
+            return (state, obs, rs + r.sum(), ds + done.sum()), None
+
+        carry = (state, obs, jnp.float32(0), jnp.int32(0))
+        (state, obs, rs, ds), _ = jax.lax.scan(
+            body, carry, jax.random.split(k1, steps))
+        return state, rs / (batch * steps), ds
 
     return run

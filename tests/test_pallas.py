@@ -125,3 +125,37 @@ def test_pallas_prng_mode_runs():
     st, mean_r, n_done = jax.jit(run)(0)
     assert np.isfinite(float(mean_r))
     assert (np.asarray(st.step_count) == 16).all() or int(n_done) > 0
+
+
+def test_pallas_policy_rollout_obs_and_logits_parity():
+    """The fused policy kernel's in-Mosaic LidarInFront observation and MLP
+    logits must match ngx.ops.rays + flax ActorCritic exactly (same state)."""
+    from ngx.ops.pallas_rollout import make_xla_policy_rollout
+    from ngx.rl.models import ActorCritic
+    from ngx.transforms import lidar_in_front
+
+    spec = lidar_in_front(ngx.make_spec(POGO))
+    TB = 16
+    vreset = jax.vmap(ngx.make_reset(spec))
+    state, obs_ref = vreset(jax.random.split(jax.random.key(0), TB))
+    model = ActorCritic(n_actions=spec.n_actions, hidden=(64, 64))
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, obs_ref.shape[1]), jnp.float32))
+
+    run = make_pallas_rollout(spec, batch=32, steps=8, block=TB,
+                              action_source="policy", interpret=True,
+                              policy_params=params)
+    assert run.obs_dim == obs_ref.shape[1]
+    np.testing.assert_array_equal(np.asarray(run.lidar_obs_fn(state)),
+                                  np.asarray(obs_ref))
+    logits_ref, _ = model.apply(params, jnp.asarray(obs_ref, jnp.float32))
+    np.testing.assert_allclose(np.asarray(run.policy_logits_fn(state)),
+                               np.asarray(logits_ref), atol=1e-5)
+
+    # fused rollout executes (interpret mode) and the comparator runs too
+    st, mean_r, n_done = jax.jit(run)(0)
+    assert np.isfinite(float(mean_r))
+    assert (np.asarray(st.step_count) > 0).any()
+    xla = make_xla_policy_rollout(spec, params, 32, 8)
+    st2, mean_r2, _ = xla(jax.random.key(3))
+    assert np.isfinite(float(mean_r2))
