@@ -11,14 +11,18 @@ def set_platform(platform: str) -> None:
     env at a time, so every step is a host↔device round-trip — pure dispatch
     latency, zero chip utilisation.  They default to ``cpu``, which is both
     faster for B=1 and leaves the TPU free for training; pass
-    ``-platform auto`` to use JAX's default device selection, or ``tpu`` to
-    force the chip.  An already-set ``JAX_PLATFORMS`` env var wins over the
-    driver default.  Uses ``jax.config.update`` rather than the env var:
-    jax may already be imported by the time a driver's ``main`` runs, in
-    which case ``JAX_PLATFORMS`` is silently ignored while the config update
-    still takes effect (the backend initialises lazily on first device use).
+    ``-platform auto`` to use JAX's default device selection (which honours
+    the ``JAX_PLATFORMS`` env var — this image globally sets it to the
+    tunneled-TPU 'axon' backend), or ``tpu`` to force the chip.  An explicit
+    ``-platform`` always wins over the env var.  Uses ``jax.config.update``
+    rather than the env var: jax may already be imported by the time a
+    driver's ``main`` runs, in which case mutating ``JAX_PLATFORMS`` is
+    silently ignored while the config update still takes effect (the backend
+    initialises lazily on first device use).
     """
-    if platform == "auto" or os.environ.get("JAX_PLATFORMS"):
+    if platform == "auto":
         return
     import jax
+    if platform == "tpu" and os.environ.get("JAX_PLATFORMS") == "axon":
+        platform = "axon"   # this image exposes the TPU via the axon tunnel
     jax.config.update("jax_platforms", platform)

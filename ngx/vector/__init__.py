@@ -96,29 +96,52 @@ def make_vec(spec) -> VecEnv:
     return VecEnv(spec=spec, reset=reset, step=step, rollout=rollout)
 
 
-def throughput_fn(spec, batch: int, steps: int):
+def throughput_fn(spec, batch: int, steps: int, action_rng: str = "threefry",
+                  auto_reset: bool = True):
     """One fused jit computing ``steps`` batched random-action steps — the
     benchmark kernel (BASELINE.json's env-steps/s/chip metric).
 
     Unlike :func:`make_vec`'s trajectory rollout this stores nothing per step
     (no T×B obs stacking — that alone is ~1 GB of HBM writes at 8192×256):
     the scan carry is just the state plus running reward/done accumulators,
-    so the whole rollout stays compute-bound."""
+    so the whole rollout stays compute-bound.
+
+    ``action_rng``/``auto_reset`` exist for the perf breakdown
+    (``ngx.cli.perf``, docs/PERF.md): 'threefry' draws actions with
+    jax.random.randint (default), 'hash' with a murmur3-style counter hash
+    (one mix per step instead of a threefry block), 'fixed' repeats action 0
+    (no RNG at all); ``auto_reset=False`` drops the done->reset cond."""
     single_reset = make_reset(spec)
     single_step = make_step(spec)
     v_reset = jax.vmap(single_reset)
     v_step = jax.vmap(single_step)
     n_actions = spec.n_actions
 
+    def _hash_actions(t):
+        x = (jnp.arange(batch, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1)
+             ^ (t.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
+        return ((x >> 1).astype(jnp.int32)) % n_actions
+
     @jax.jit
     def run(key):
         k0, k1 = jax.random.split(key)
         state, _ = v_reset(jax.random.split(k0, batch))
 
-        def body(carry, key_t):
+        def body(carry, xs):
             state, r_sum, d_sum = carry
+            key_t, t = xs
             k_act, k_reset = jax.random.split(key_t)
-            actions = jax.random.randint(k_act, (batch,), 0, n_actions)
+            if action_rng == "threefry":
+                actions = jax.random.randint(k_act, (batch,), 0, n_actions)
+            elif action_rng == "hash":
+                actions = _hash_actions(t)
+            else:
+                actions = jnp.zeros((batch,), jnp.int32)
             new_state, _, reward, done, _ = v_step(state, actions)
 
             def with_resets(ns):
@@ -128,13 +151,17 @@ def throughput_fn(spec, batch: int, steps: int):
                         done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
                     fresh, ns)
 
-            state = jax.lax.cond(jnp.any(done), with_resets, lambda ns: ns,
-                                 new_state)
+            if auto_reset:
+                state = jax.lax.cond(jnp.any(done), with_resets,
+                                     lambda ns: ns, new_state)
+            else:
+                state = new_state
             return (state, r_sum + reward.sum(), d_sum + done.sum()), None
 
         init = (state, jnp.float32(0), jnp.int32(0))
         (state, r_sum, d_sum), _ = jax.lax.scan(
-            body, init, jax.random.split(k1, steps))
+            body, init, (jax.random.split(k1, steps),
+                         jnp.arange(steps, dtype=jnp.int32)))
         return state, r_sum / (batch * steps)
 
     return run
