@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("-episode_cap", type=int, default=100)
     p.add_argument("-log", default="results/run")
     p.add_argument("-ckpt", default="")
+    p.add_argument("-resume", default="",
+                   help="resume from a '<ckpt>/resume' checkpoint "
+                        "(params + optimizer state)")
     p.add_argument("-pretrain", default="",
                    help="expert-demo .npz (from ngx.cli.record_demos) for a "
                         "behavior-cloning warm start (reference "
@@ -67,6 +70,16 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     init, train_step = make_train(cfg)
     carry = init(key)
+    if args.resume:
+        # full-fidelity resume: params AND optimizer state (the reference's
+        # SB2 model.load analog, but for mid-run failure recovery)
+        from ngx.utils.checkpoint import restore_pytree
+        ts = carry[0]
+        tree = restore_pytree(args.resume, like={"params": ts.params,
+                                                 "opt_state": ts.opt_state})
+        carry = (ts.replace(params=tree["params"],
+                            opt_state=tree["opt_state"]),) + carry[1:]
+        print(f"resumed TrainState from {args.resume}")
     if args.pretrain:
         from ngx.rl.bc import pretrain_from_npz
         from ngx.rl.models import ActorCritic
@@ -130,6 +143,10 @@ def main(argv=None):
     if args.ckpt:
         save_pytree(os.path.join(args.ckpt, "final"),
                     {"params": carry[0].params, "config": vars(args)})
+        # resumable checkpoint: params + optimizer state (-resume target)
+        save_pytree(os.path.join(args.ckpt, "resume"),
+                    {"params": carry[0].params,
+                     "opt_state": carry[0].opt_state})
         print("final checkpoint saved to", os.path.join(args.ckpt, "final"))
     f.close()
 

@@ -39,6 +39,12 @@ def restore_pytree(path: str, like=None):
                 and hasattr(template, "__dataclass_fields__"):
             kw = {k: rebuild(getattr(template, k), v) for k, v in value.items()}
             return type(template)(**kw)
+        if isinstance(value, dict) and isinstance(template, tuple) \
+                and hasattr(template, "_fields"):
+            # NamedTuples (e.g. optax optimizer states) round-trip as dicts
+            # keyed by field name
+            return type(template)(**{
+                k: rebuild(getattr(template, k), v) for k, v in value.items()})
         if isinstance(value, dict):
             return {k: rebuild(template[k], v) for k, v in value.items()}
         if isinstance(value, (list, tuple)):

@@ -120,3 +120,33 @@ def test_checkpoint_roundtrip_env_state(tmp_path):
                                   np.asarray(restored.map))
     np.testing.assert_array_equal(np.asarray(state.inventory),
                                   np.asarray(restored.inventory))
+
+
+def test_train_resume_roundtrip(tmp_path):
+    """-resume restores params AND optimizer state (failure recovery)."""
+    from ngx.cli.train import main as train_main
+    train_main(["-env", "NovelGridworld-v0", "-steps", "8192",
+                "-num_envs", "64", "-rollout", "8",
+                "-log", str(tmp_path / "l1"), "-ckpt", str(tmp_path / "c1")])
+    assert (tmp_path / "c1" / "resume").exists()
+    train_main(["-env", "NovelGridworld-v0", "-steps", "4096",
+                "-num_envs", "64", "-rollout", "8",
+                "-resume", str(tmp_path / "c1" / "resume"),
+                "-log", str(tmp_path / "l2"), "-ckpt", str(tmp_path / "c2")])
+    assert (tmp_path / "c2" / "final").exists()
+
+
+def test_bc_pretrain_flag(tmp_path):
+    """-pretrain consumes a record_demos .npz (reference train.py:125-132)."""
+    import numpy as np
+    from ngx.cli.record_demos import main as demos_main
+    from ngx.cli.train import main as train_main
+    npz = str(tmp_path / "demos.npz")
+    demos_main(["-env", "NovelGridworld-v0", "-episodes", "2",
+                "-episode_cap", "20", "-policy", "random", "-out", npz])
+    z = np.load(npz)
+    assert z["obs"].shape[0] == z["actions"].shape[0] > 0
+    train_main(["-env", "NovelGridworld-v0", "-steps", "4096",
+                "-num_envs", "64", "-rollout", "8",
+                "-pretrain", npz, "-pretrain_steps", "20",
+                "-log", str(tmp_path / "l3")])
