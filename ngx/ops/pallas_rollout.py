@@ -17,17 +17,26 @@ see ngx/core/reset.py's proof), because `jax.random` keys don't exist inside
 Mosaic.  Auto-reset semantics match ngx.vector.make_vec: a done env's carried
 state is a fresh reset draw under a `lax.cond`.
 
-Measured result (v5e, 8192 Pogostick-v1 envs, T=256, block=512): ~25M
-env-steps/s — correct, but ~3x SLOWER than the jit(vmap(step)) lax.scan path
-(~85M).  The step kernel is VPU-compute-bound, not HBM-bound (state traffic
-is ~8.5us/step vs ~96us compute at this batch), so eliminating the scan's
-HBM round-trips buys <10% while Mosaic's codegen for this mask-heavy int32
-workload loses to XLA's fusion autotuning.  The XLA path therefore stays the
-default/bench path; this backend is kept as the on-core harness for kernels
-that DO win in Pallas (fused policy+env rollouts on the MXU, remote-DMA
-pipelines) and as executable documentation of the Mosaic port pitfalls
-(no i1 rank expansion, no multi-leaf vector loop carries, no lane rotates of
-non-128-multiple vectors — hence the ADJ matmul, no uint->float converts).
+Measured results (v5e, Pogostick-v1, T=256 — full tables in docs/PERF.md):
+
+* ``action_source='prng'`` (random-action env stepping): ~25M env-steps/s —
+  correct, but ~3x SLOWER than the jit(vmap(step)) lax.scan path (~85M).
+  The step kernel is VPU-compute-bound, not HBM-bound (state traffic is
+  ~8.5us/step vs ~96us compute at this batch), so eliminating the scan's HBM
+  round-trips buys <10% while Mosaic's codegen for this mask-heavy int32
+  workload loses to XLA's fusion autotuning.  The XLA path stays the
+  default/bench path for that workload.
+* ``action_source='policy'`` (the fused policy+env acting loop: in-kernel
+  LidarInFront obs + MLP actor on the MXU + Gumbel sampling + step +
+  auto-reset): **7.5-8.1M steps/s vs 0.49M for the un-fused XLA scan — a
+  15-16x win**, because the un-fused acting loop pays per-step HBM round
+  trips of the whole state plus gather-based lidar and tiny-matmul launches
+  that fusion eliminates.  This is the backend's reason to exist.
+
+Mosaic port pitfalls this file documents executable workarounds for: no i1
+rank expansion, no multi-leaf vector loop carries, no lane rotates of
+non-128-multiple vectors (hence the ADJ matmul), no uint->float converts, no
+gathers (hence one-hot map reads and the facing-permutation lidar).
 
 Gating: specs whose reset needs novelty transforms (fence/additem/replace) or
 the v3 wall-coin / Pogostick-v0 tap pre-placement fall back to the XLA path
