@@ -20,7 +20,11 @@ def main(argv=None):
     p.add_argument("-env", default="NovelGridworld-Bow-v0")
     p.add_argument("-episodes", type=int, default=5)
     p.add_argument("-episode_cap", type=int, default=100)
-    p.add_argument("-policy", default="random", choices=["random", "human", "ckpt"])
+    p.add_argument("-policy", default="random",
+                   choices=["random", "human", "ckpt", "expert"],
+                   help="'expert' uses the scripted solver for this env "
+                        "(ngx/rl/experts.py) — the automated stand-in for "
+                        "the reference's human demonstrations")
     p.add_argument("-ckpt", default="")
     p.add_argument("-num_beams", type=int, default=8)
     p.add_argument("-out", default="demos.npz")
@@ -34,11 +38,15 @@ def main(argv=None):
     env = C.LidarInFront(C.make(args.env), num_beams=args.num_beams)
 
     policy = None
+    expert = None
     if args.policy == "ckpt":
         from .enjoy import load_policy
         policy = load_policy(args.ckpt, env.spec)
         import jax
         key = jax.random.key(args.seed)
+    elif args.policy == "expert":
+        from ngx.rl.experts import get_expert
+        expert = get_expert(args.env)
 
     actions, rewards, obs_l, starts, ep_returns = [], [], [], [], []
     for ep in range(args.episodes):
@@ -56,6 +64,8 @@ def main(argv=None):
                 import jax
                 key, k = jax.random.split(key)
                 a = int(policy(k, obs))
+            elif expert is not None:
+                a = expert(env)
             else:
                 a = env.action_space.sample()
             obs_l.append(np.asarray(obs))
@@ -70,6 +80,9 @@ def main(argv=None):
         ep_returns.append(total)
         print(f"episode {ep}: return {total:.1f}")
 
+    import os
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez(
         args.out,
         actions=np.asarray(actions, np.int64)[:, None],

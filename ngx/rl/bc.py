@@ -37,8 +37,11 @@ def pretrain(model, params, obs, actions, key=None, steps: int = 500,
     (policy cross-entropy only; the value head is left for PPO to fit).
     """
     key = jax.random.key(0) if key is None else key
-    obs = jnp.asarray(obs, jnp.float32)
-    actions = jnp.asarray(actions, jnp.int32)
+    # the dataset rides as ARGUMENTS (device_put), never as closed-over trace
+    # constants: large embedded constants stall MLIR lowering on tunneled-TPU
+    # transports (same rule as the spec tables in ngx/core/step.py)
+    obs = jax.device_put(jnp.asarray(obs, jnp.float32))
+    actions = jax.device_put(jnp.asarray(actions, jnp.int32))
     N = obs.shape[0]
     bs = min(batch_size, N)
     tx = optax.adam(lr)
@@ -52,7 +55,7 @@ def pretrain(model, params, obs, actions, key=None, steps: int = 500,
         return ce, acc
 
     @jax.jit
-    def run(params, opt_state, key):
+    def run(params, opt_state, key, obs, actions):
         def body(carry, key_t):
             params, opt_state = carry
             idx = jax.random.randint(key_t, (bs,), 0, N)
@@ -68,7 +71,7 @@ def pretrain(model, params, obs, actions, key=None, steps: int = 500,
         return params, {"loss": full_ce, "accuracy": full_acc,
                         "first_loss": ce[0], "last_loss": ce[-1]}
 
-    params, metrics = run(params, opt_state, key)
+    params, metrics = run(params, opt_state, key, obs, actions)
     return params, {k: float(v) for k, v in metrics.items()}
 
 
