@@ -23,6 +23,7 @@ def set_platform(platform: str) -> None:
     if platform == "auto":
         return
     import jax
-    if platform == "tpu" and os.environ.get("JAX_PLATFORMS") == "axon":
+    if platform == "tpu" and "axon" in os.environ.get(
+            "JAX_PLATFORMS", "").split(","):
         platform = "axon"   # this image exposes the TPU via the axon tunnel
     jax.config.update("jax_platforms", platform)

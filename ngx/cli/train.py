@@ -113,7 +113,9 @@ def main(argv=None):
                 best = mean_ep
                 save_pytree(os.path.join(args.ckpt, "best"),
                             {"params": carry[0].params,
-                             "config": vars(args) | {"mean_ep_return": mean_ep}})
+                             "config": vars(args) | {
+                                 "hidden": list(cfg.hidden),
+                                 "mean_ep_return": mean_ep}})
                 print(f"  saved new best ({best:.2f})")
         return carry
 
@@ -142,7 +144,8 @@ def main(argv=None):
 
     if args.ckpt:
         save_pytree(os.path.join(args.ckpt, "final"),
-                    {"params": carry[0].params, "config": vars(args)})
+                    {"params": carry[0].params,
+                     "config": vars(args) | {"hidden": list(cfg.hidden)}})
         # resumable checkpoint: params + optimizer state (-resume target)
         save_pytree(os.path.join(args.ckpt, "resume"),
                     {"params": carry[0].params,

@@ -85,6 +85,15 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
     """
     assert action_source in ("prng", "input", "policy"), action_source
     assert supports_pallas_rollout(sp), sp.env_id
+    from ..utils import debug
+    if debug.enabled():
+        # make_step's NGX_DEBUG wrapper emits jax.debug.callback, which has
+        # no Mosaic lowering — fail here with a clear message instead of an
+        # opaque Pallas lowering error mid-trace.
+        raise RuntimeError(
+            "NGX_DEBUG=1 is unsupported in the Pallas rollout path (host "
+            "callbacks cannot lower inside a Mosaic kernel); unset NGX_DEBUG "
+            "or use the XLA scan path (ngx.vector)")
     assert batch % block == 0, (batch, block)
     H, I, A = sp.map_size, sp.n_items, sp.n_actions
     HW = H * H
