@@ -6,9 +6,14 @@
 Supports the reference's special v5 curriculum path (enjoy.py:58-100): for
 ``-env NovelGridworld-v5`` it chains v1→v2→v3→v4→v5 via state restore, using
 a policy per stage if a -ckpt dir with per-env checkpoints is given, else
-random actions.  Without a checkpoint, actions are random (the reference's
-SB2 .zip checkpoints are TF1 artifacts that can't be loaded here; retrain
-with ngx.cli.train to produce native ones).
+random actions.
+
+``-ckpt`` accepts either a native orbax checkpoint dir or one of the
+reference's shipped stable-baselines-2 ``.zip`` files (e.g.
+``/root/reference/trained_agents/NovelGridworld-v0.zip``) — the SB2 save
+format is a zip holding plain-npz MLP weights, loaded TF-free by
+``ngx.rl.sb2`` and run as a JAX forward pass over the env's native lidar
+observation (the obs SB2 trained on, reference tests/train.py:104-122).
 """
 
 from __future__ import annotations
@@ -24,6 +29,20 @@ def load_policy(ckpt, spec):
     import jax.numpy as jnp
     from ngx.rl.models import ActorCritic
     from ngx.utils.checkpoint import restore_pytree
+
+    if ckpt.endswith(".zip"):
+        # a reference SB2 checkpoint (reference enjoy.py:49-72)
+        from ngx.rl.sb2 import load_sb2_params, sb2_apply
+
+        params = load_sb2_params(ckpt)
+
+        @jax.jit
+        def act_sb2(key, obs):
+            logits, _ = sb2_apply(
+                params, jnp.asarray(obs, jnp.float32)[None, :])
+            return jax.random.categorical(key, logits[0])
+
+        return act_sb2
 
     tree = restore_pytree(ckpt)
     params = tree["params"]
@@ -103,8 +122,11 @@ def main(argv=None):
     env = C.make(args.env)
     policy = None
     if args.ckpt:
-        # trained policies act on the LidarInFront observation
-        env = C.LidarInFront(env, num_beams=args.num_beams)
+        if not args.ckpt.endswith(".zip"):
+            # native policies act on the LidarInFront observation; the
+            # reference's SB2 zips act on the env's built-in obs (the legacy
+            # envs' own lidar arrays — no wrapper, reference enjoy.py:49-56)
+            env = C.LidarInFront(env, num_beams=args.num_beams)
         policy = load_policy(args.ckpt, env.spec)
     run_episodes(env, policy, args.episodes, args.episode_cap, args.render,
                  args.seed)

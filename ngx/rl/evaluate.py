@@ -23,18 +23,29 @@ from ..vector import make_vec
 from .models import ActorCritic
 
 
-def make_eval(spec, hidden=(64, 64), cap: int = 100):
+def make_eval(spec, hidden=(64, 64), cap: int = 100, apply_logits=None,
+              wrap_lidar: bool = True):
     """Build ``run(params, key, episodes) -> metrics`` for ``spec``.
 
     ``params=None`` evaluates the uniform-random policy (the baseline the
     reference's random_action.py driver amounts to).  Observations follow the
     training setup: LidarInFront over the base spec (reference trains SB2 on
     exactly that, ``tests/train.py:104-122``).
+
+    ``apply_logits(params, obs_f32) -> logits`` swaps in a different policy
+    forward pass (e.g. the reference's SB2 MLP, ngx.rl.sb2) — default is the
+    native flax ActorCritic.  ``wrap_lidar=False`` evaluates on the spec's
+    own observation (the legacy envs' built-in lidar arrays — what the
+    reference's SB2 agents were trained on, reference tests/train.py:104-107).
     """
-    if spec.obs_mode != S.OBS_LIDAR_FRONT:
+    if wrap_lidar and spec.obs_mode != S.OBS_LIDAR_FRONT:
         spec = lidar_in_front(spec)
     vec = make_vec(spec)
-    model = ActorCritic(n_actions=spec.n_actions, hidden=tuple(hidden))
+    if apply_logits is None:
+        model = ActorCritic(n_actions=spec.n_actions, hidden=tuple(hidden))
+
+        def apply_logits(params, obs):
+            return model.apply(params, obs)[0]
     n_actions = spec.n_actions
 
     def run(params, key, episodes: int):
@@ -50,8 +61,7 @@ def make_eval(spec, hidden=(64, 64), cap: int = 100):
                     action = jax.random.randint(
                         k_act, (episodes,), 0, n_actions)
                 else:
-                    logits, _ = model.apply(
-                        params, obs.astype(jnp.float32))
+                    logits = apply_logits(params, obs.astype(jnp.float32))
                     action = jax.random.categorical(k_act, logits)
                 state, obs, r, done, _ = vec.step(
                     state, action, jax.random.split(k_reset, episodes))
@@ -97,3 +107,22 @@ def evaluate_checkpoint(env_id: str, ckpt_path: str, episodes: int = 128,
         "trained": run(tree["params"], key, episodes),
         "random": run(None, jax.random.fold_in(key, 1), episodes),
     }
+
+
+def evaluate_sb2_zip(env_id: str, zip_path: str, episodes: int = 128,
+                     cap: int = 100, seed: int = 0):
+    """Run one of the reference's shipped SB2 checkpoints through the ngx
+    engine under the same 128-episode / 100-step protocol (reference
+    ``enjoy.py:49-72,87``; stochastic actions, SB2 predict's default).
+
+    Returns one metrics dict (mean_return / solve_rate / ...)."""
+    import ngx
+    from .sb2 import load_sb2_params, sb2_apply, check_dims
+
+    spec = ngx.make_spec(env_id)
+    params = load_sb2_params(zip_path)
+    _, obs0 = jax.jit(ngx.make_reset(spec))(jax.random.key(0))
+    check_dims(params, int(obs0.shape[-1]), spec.n_actions, zip_path)
+    run = make_eval(spec, cap=cap, wrap_lidar=False,
+                    apply_logits=lambda p, obs: sb2_apply(p, obs)[0])
+    return run(params, jax.random.key(seed), episodes)
