@@ -6,11 +6,16 @@ equivalent: host-side policies over the compat facade that actually solve the
 tasks, used by ``ngx.cli.record_demos -policy expert`` to produce the
 ExpertDataset ``.npz`` that ``ngx.rl.bc`` consumes.
 
-Covered: the pogo-stick craft chain (NovelGridworld-Pogostick-v1 / v6 — break
-trees, craft planks/sticks, craft the tap at the table, place it next to a
-tree, extract rubber, craft the pogo stick) and NovelGridworld-v0 (face the
-crafting table).  The experts are pure functions of the live env state — no
-memory — so they recover from any intermediate state.
+Covered: all 11 envs.  The pogo-stick craft chain (Pogostick-v0/v1, v6, and
+v5's fused/table-gated variant — break trees, craft planks/sticks, craft the
+tap at the table, place it next to a tree, extract rubber, craft the pogo
+stick), the bow chain (Bow-v0/v1), and the legacy single-goal envs v0–v4
+(face the table / break 3 trees / craft-to-quota / craft-at-table / fused
+place+extract).  The experts are pure functions of the live env state — no
+memory — so they recover from any intermediate state.  They solve every
+solvable episode; the one source of unsolvable episodes is v3's random
+starting inventory (plank<5 and stick<4 affords neither recipe — ~12.5% of
+resets, novel_gridworld_v3_env.py:45-47).
 """
 
 from __future__ import annotations
@@ -243,8 +248,96 @@ def v0_expert(env) -> int:
     return a if a is not None else env.actions_id["Left"]
 
 
+def v1_expert(env) -> int:
+    """v1: break trees until tree_log >= 3 (goal,
+    novel_gridworld_v1_env.py:264; Break +10 on tree, :246-257)."""
+    trees = _cells_of(env, "tree_log")
+    a = _goto_adjacent_and(env, trees, "Break") if trees else None
+    return a if a is not None else env.actions_id["Left"]
+
+
+def v2_expert(env) -> int:
+    """v2: craft to 8 plank + 8 stick from the starting 3 tree_log
+    (novel_gridworld_v2_env.py:44,49,260).  Both recipes are
+    single-ingredient (plank: 1 log -> 4; stick: 2 plank -> 4) so no table
+    navigation exists — the action set is crafts only.  Craft planks until
+    the pool covers the 8-plank goal plus 2 per remaining stick craft, THEN
+    sticks (also dodging the stick-before-8-plank nag, v2:315-325)."""
+    A = env.actions_id
+    inv = env.inventory_items_quantity
+    plank, stick, logs = (inv.get("plank", 0), inv.get("stick", 0),
+                          inv.get("tree_log", 0))
+    need_stick_crafts = -(-max(8 - stick, 0) // 4)
+    plank_goal = 8 + 2 * need_stick_crafts
+    if plank < plank_goal and logs >= 1:
+        return A["Craft_plank"]
+    if stick < 8 and plank >= 2:
+        return A["Craft_stick"]
+    # dead end (the env will flag it, v2:263-266) — any action
+    return A["Craft_plank"]
+
+
+def v3_expert(env) -> int:
+    """v3: craft a tree_tap (5 plank + 1 stick) or a pogo_stick (4 stick +
+    2 plank + 1 rubber) at the table — whichever the random starting
+    inventory (plank~U[2,10], stick~U[1,8], rubber=1,
+    novel_gridworld_v3_env.py:45-47) affords.  Both recipes are
+    multi-ingredient, so the table must be in front (v3:360-369).  Episodes
+    with plank<5 and stick<4 are unsolvable by construction (no
+    inventory-growing action exists) — the expert ceiling is ~87.5%."""
+    A = env.actions_id
+    inv = env.inventory_items_quantity
+    plank, stick, rubber = (inv.get("plank", 0), inv.get("stick", 0),
+                            inv.get("rubber", 0))
+    table = _cells_of(env, "crafting_table")
+    if plank >= 5 and stick >= 1:
+        a = _goto_adjacent_and(env, table, "Craft_tree_tap")
+        if a is not None:
+            return a
+    if stick >= 4 and plank >= 2 and rubber >= 1:
+        a = _goto_adjacent_and(env, table, "Craft_pogo_stick")
+        if a is not None:
+            return a
+    return A["Left"]
+
+
+def v4_expert(env) -> int:
+    """v4: one fused Place_tree_tap_Extract_rubber while facing an air cell
+    4-adjacent to a tree reaches the rubber goal immediately
+    (novel_gridworld_v4_env.py:277-305,312); if a tap is already on the map
+    (restore chaining), extract by facing it instead (:299-303)."""
+    A = env.actions_id
+    fused = "Place_tree_tap_Extract_rubber"
+    taps = _cells_of(env, "tree_tap")
+    if taps:
+        a = _goto_adjacent_and(env, taps, fused)
+        if a is not None:
+            return a
+    trees = _cells_of(env, "tree_log")
+    m = env.map
+    H = m.shape[0]
+    spots = set()
+    for (tr, tc) in trees:
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            rr, cc = tr + dr, tc + dc
+            if 0 <= rr < H and 0 <= cc < H and m[rr, cc] == 0:
+                spots.add((rr, cc))
+    if tuple(env.agent_location) in spots:
+        r, c = env.agent_location
+        for f in range(4):
+            dr, dc = FACING_DELTAS[f]
+            if m[r + dr, c + dc] == 0:
+                return _face_or_move(env, (dr, dc))
+    a = _goto_adjacent_and(env, spots, fused) if spots else None
+    return a if a is not None else A["Left"]
+
+
 EXPERTS = {
     "NovelGridworld-v0": v0_expert,
+    "NovelGridworld-v1": v1_expert,
+    "NovelGridworld-v2": v2_expert,
+    "NovelGridworld-v3": v3_expert,
+    "NovelGridworld-v4": v4_expert,
     "NovelGridworld-v5": v5_expert,
     "NovelGridworld-v6": pogostick_expert,
     "NovelGridworld-Bow-v0": bow_expert,

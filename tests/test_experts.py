@@ -1,0 +1,53 @@
+"""Scripted experts solve every env (the automated stand-in for the
+reference's human demo recording, tests/record_expert_demonstrations.py).
+
+Every env's expert solves every *solvable* episode within the reference's
+100-step eval cap (enjoy.py:87,107).  The only unsolvable episodes are
+NovelGridworld-v3 resets whose random inventory affords neither recipe
+(plank<5 and stick<4 with a craft-only goal set) — those are detected from
+the start state and excluded, and their rate is checked to be small.
+"""
+
+import numpy as np
+import pytest
+
+ENV_IDS = [
+    "NovelGridworld-v0", "NovelGridworld-v1", "NovelGridworld-v2",
+    "NovelGridworld-v3", "NovelGridworld-v4", "NovelGridworld-v5",
+    "NovelGridworld-v6", "NovelGridworld-Bow-v0", "NovelGridworld-Bow-v1",
+    "NovelGridworld-Pogostick-v0", "NovelGridworld-Pogostick-v1",
+]
+
+
+def _v3_unsolvable(env):
+    inv = env.inventory_items_quantity
+    return inv.get("plank", 0) < 5 and inv.get("stick", 0) < 4
+
+
+@pytest.mark.parametrize("env_id", ENV_IDS)
+def test_expert_solves_all_solvable(env_id):
+    import ngx.compat as C
+    from ngx.rl.experts import get_expert
+
+    env = C.make(env_id)
+    expert = get_expert(env_id)
+    episodes, skipped = 8, 0
+    for ep in range(episodes):
+        np.random.seed(1000 + ep)
+        env.reset()
+        if env_id == "NovelGridworld-v3" and _v3_unsolvable(env):
+            skipped += 1
+            continue
+        done, r = False, 0.0
+        for _ in range(100):
+            _, r, done, _ = env.step(expert(env))
+            if done:
+                break
+        assert done and r > 0, (env_id, ep)
+    assert skipped <= episodes // 2
+
+
+def test_all_envs_have_experts():
+    from ngx.rl.experts import EXPERTS
+
+    assert sorted(EXPERTS) == sorted(ENV_IDS)
