@@ -72,6 +72,10 @@ class NGXEnv:
         # injected) fail with the reference's per-step assert.
         self.limited_actions = None
         self.limited_actions_id = None
+        # AddJump/AddChop set their own Discrete(len(full actions_id)) on the
+        # wrapper, shadowing a LimitActions Discrete below
+        # (novelty_wrappers.py:1278,1350); frozen at injection time
+        self.action_space_n_override = None
 
     # -- identity / static tables ------------------------------------------
     @property
@@ -172,6 +176,8 @@ class NGXEnv:
 
     @property
     def action_space(self):
+        if self.action_space_n_override is not None:
+            return Discrete(self.action_space_n_override)
         if self.limited_actions_id is not None:
             return Discrete(len(self.limited_actions_id))
         return Discrete(self._spec.n_actions)
@@ -369,6 +375,9 @@ class NGXEnv:
         if "|addchop" in tag:
             assert "Chop" in ids, ("Cannot use addchop novelty because you do "
                                    "not have Chop in LimitActions")
+        if "|addjump" in tag:
+            assert "Jump" in ids, ("Cannot use addjump novelty because you do "
+                                   "not have Jump in LimitActions")
         if "|breakincrease" in tag:
             assert "Break" in ids, ("Cannot use breakincrease novelty because "
                                     "you do not have Break in LimitActions")

@@ -31,6 +31,7 @@ def _rewrap(env: NGXEnv, spec) -> NGXEnv:
     # attribute forwarding, novelty_wrappers.py:39-43)
     new.limited_actions = env.limited_actions
     new.limited_actions_id = env.limited_actions_id
+    new.action_space_n_override = env.action_space_n_override
     return new
 
 
@@ -54,6 +55,9 @@ def LimitActions(env: NGXEnv, limited_actions) -> NGXEnv:
     new.limited_actions = set(limited_actions)
     new.limited_actions_id = {a: i for i, a in
                               enumerate(sorted(new.limited_actions))}
+    # a fresh limiter's Discrete is the visible space again (it sits above
+    # any earlier AddJump/AddChop override)
+    new.action_space_n_override = None
     return new
 
 
@@ -68,6 +72,12 @@ def inject_novelty(env: NGXEnv, novelty_name: str, difficulty: str = "hard",
                        novelty_arg2)
     new = _rewrap(env, spec)
     new._state = None  # novelty wrap requires a fresh reset, as in reference
+    if novelty_name in ("addjump", "addchop"):
+        # these wrappers declare Discrete(len(full actions_id)) on
+        # THEMSELVES, shadowing a LimitActions Discrete below and freezing
+        # the count at injection time (novelty_wrappers.py:1278,1350) —
+        # stepping still translates through the limited table
+        new.action_space_n_override = spec.n_actions
     if env.reset_mode == "mirror":
         construction_resets = (
             (novelty_name in ("axe", "axetobreak") and difficulty == "medium")

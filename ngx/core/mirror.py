@@ -90,16 +90,18 @@ def mirror_reset(sp: S.EnvSpec, rng=np.random):
             if len(np.where(m == tap)[0]) > 0:
                 break
 
-    # novelty reset transforms, in reference order ---------------------------
-    if sp.reset_fence is not None:
-        fence_id, lo, hi = sp.reset_fence
-        _mirror_fence(m, agent, fence_id, lo, hi, wall, rng)
-    if sp.reset_additem is not None:
-        item_id, lo, hi = sp.reset_additem
-        _mirror_percent(m, agent, m == 0, item_id, lo, hi, rng)
-    if sp.reset_replace is not None:
-        from_id, to_id, lo, hi = sp.reset_replace
-        _mirror_percent(m, agent, m == from_id, to_id, lo, hi, rng)
+    # novelty reset transforms, in injection order (inner wrapper first —
+    # each reference wrapper edits the map after its inner reset returned)
+    for edit in sp.reset_edits:
+        if edit[0] == "fence":
+            _, fence_id, lo, hi = edit
+            _mirror_fence(m, agent, fence_id, lo, hi, wall, rng)
+        elif edit[0] == "additem":
+            _, item_id, lo, hi = edit
+            _mirror_percent(m, agent, m == 0, item_id, lo, hi, rng)
+        else:
+            _, from_id, to_id, lo, hi = edit
+            _mirror_percent(m, agent, m == from_id, to_id, lo, hi, rng)
 
     if sp.reset_inv_set is not None:
         setv = np.asarray(sp.reset_inv_set)

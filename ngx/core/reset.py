@@ -112,8 +112,8 @@ def make_reset(sp: S.EnvSpec):
         return m
 
     def reset(key) -> EnvState:
-        k_agent, k_face, k_items, k_inv, k_coin, k_tap, k_fence, k_add, k_rep = \
-            jax.random.split(key, 9)
+        k_agent, k_face, k_items, k_inv, k_coin, k_tap, k_edits = \
+            jax.random.split(key, 7)
 
         agent_idx = jax.random.randint(k_agent, (), 0, N)
         agent = jnp.asarray(interior)[agent_idx]
@@ -171,16 +171,20 @@ def make_reset(sp: S.EnvSpec):
             any_valid = jnp.any(flat)
             m = m.at[pr, pc].set(jnp.where(any_valid, tap, m[pr, pc]))
 
-        # novelty reset transforms ---------------------------------------
-        if sp.reset_fence is not None:
-            fence_id, lo, hi = sp.reset_fence
-            m = _percent_fill_fence(k_fence, m, agent, fence_id, lo, hi, wall, H)
-        if sp.reset_additem is not None:
-            item_id, lo, hi = sp.reset_additem
-            m = _percent_place(k_add, m, agent, m == 0, item_id, lo, hi)
-        if sp.reset_replace is not None:
-            from_id, to_id, lo, hi = sp.reset_replace
-            m = _percent_place(k_rep, m, agent, m == from_id, to_id, lo, hi)
+        # novelty reset transforms, in injection order (inner wrapper first)
+        for j, edit in enumerate(sp.reset_edits):
+            k_edit = jax.random.fold_in(k_edits, j)
+            if edit[0] == "fence":
+                _, fence_id, lo, hi = edit
+                m = _percent_fill_fence(k_edit, m, agent, fence_id, lo, hi,
+                                        wall, H)
+            elif edit[0] == "additem":
+                _, item_id, lo, hi = edit
+                m = _percent_place(k_edit, m, agent, m == 0, item_id, lo, hi)
+            else:
+                _, from_id, to_id, lo, hi = edit
+                m = _percent_place(k_edit, m, agent, m == from_id, to_id,
+                                   lo, hi)
 
         if sp.reset_inv_set is not None:
             setv = jnp.asarray(sp.reset_inv_set, dtype=jnp.int32)

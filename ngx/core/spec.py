@@ -199,10 +199,15 @@ class EnvSpec:
     start_inv_hi: Optional[np.ndarray] = None   # int32[I]
     reset_wall_coin: bool = False     # 50% wall in front (novel_gridworld_v3_env.py:148-152)
     reset_place_tap: bool = False     # tap next to random tree (pogostick_v0_env.py:155-178)
-    # novelty reset transforms: (item args..., lo, hi) percent ranges
-    reset_fence: Optional[Tuple[int, int, int]] = None       # (fence_id, lo, hi)
-    reset_additem: Optional[Tuple[int, int, int]] = None     # (item_id, lo, hi)
-    reset_replace: Optional[Tuple[int, int, int, int]] = None  # (from, to, lo, hi)
+    # Ordered novelty reset map-edits, applied in INJECTION order — the
+    # reference's wrapper resets run inner-first (each wrapper's reset edits
+    # the map after ``self.env.reset()`` returned), so stacking e.g.
+    # AddItem(ReplaceItem(env)) replays replace-then-additem.  Entries are
+    # tagged tuples: ("fence", fence_id, lo, hi) / ("additem", item_id, lo,
+    # hi) / ("replace", from_id, to_id, lo, hi); lo/hi are the difficulty's
+    # percent range.  Same-type novelties may appear more than once (the
+    # reference nests wrappers freely, novelty_wrappers.py:1586).
+    reset_edits: Tuple[tuple, ...] = ()
     # post-reset inventory overrides (AxeEasy re-grant etc.,
     # novelty_wrappers.py:29-35,664-673); -1 == leave unchanged
     reset_inv_set: Optional[np.ndarray] = None  # int32[I]

@@ -216,7 +216,7 @@ def _fence(sp, difficulty, material) -> EnvSpec:
     sp = _append_item(sp, fence)
     lo, hi = _FENCE_RANGES[difficulty]
     return sp.replace(
-        reset_fence=(sp.items.index(fence), lo, hi),
+        reset_edits=sp.reset_edits + (("fence", sp.items.index(fence), lo, hi),),
         # Fence.reset returns self.get_observation() — gym forwarding hits
         # the BASE env, bypassing any obs wrapper (novelty_wrappers.py:885)
         reset_obs_base=True,
@@ -242,7 +242,7 @@ def _additem(sp, difficulty, item) -> EnvSpec:
     sp = _append_item(sp, item)
     lo, hi = _ADDITEM_RANGES[difficulty]
     return sp.replace(
-        reset_additem=(sp.items.index(item), lo, hi),
+        reset_edits=sp.reset_edits + (("additem", sp.items.index(item), lo, hi),),
         # AddItem.reset returns the base env's obs (novelty_wrappers.py:1030)
         reset_obs_base=True,
         novelty_tag=sp.novelty_tag + f"|additem-{difficulty}-{item}",
@@ -293,7 +293,8 @@ def _replaceitem(sp, difficulty, old, new) -> EnvSpec:
     sp = _append_item(sp, new, unbreakable=(old == "wall"))
     lo, hi = _REPLACE_RANGES[difficulty]
     return sp.replace(
-        reset_replace=(sp.items.index(old), sp.items.index(new), lo, hi),
+        reset_edits=sp.reset_edits + (
+            ("replace", sp.items.index(old), sp.items.index(new), lo, hi),),
         # ReplaceItem.reset returns env.get_observation() — the base env's
         # obs, bypassing any obs wrapper (novelty_wrappers.py:1146)
         reset_obs_base=True,
@@ -338,6 +339,12 @@ def _breakincrease(sp, item: str) -> EnvSpec:
                   np.float32(sp.reward_intermediate)).astype(np.float32)
     return sp.replace(
         break_yield=by, break_reward=br,
+        # BreakIncrease re-implements the WHOLE Break path inline
+        # (novelty_wrappers.py:1434-1485: cost always 3600, +10 on any
+        # breakable, no axe involvement) — stacking it OVER an axe/axetobreak
+        # novelty shadows the inner wrapper's Break handler entirely, so any
+        # axe override present in the spec is cleared (outer wrapper wins).
+        axe_mode=S.AXE_NONE, axe_cost_mult=1.0, axe_breakincrease=False,
         novelty_tag=sp.novelty_tag + f"|breakincrease-{item}",
     )
 

@@ -58,8 +58,7 @@ from ..core.step import make_step
 
 def supports_pallas_rollout(sp) -> bool:
     """Pallas fast path covers specs with plain procedural resets."""
-    return (sp.reset_fence is None and sp.reset_additem is None
-            and sp.reset_replace is None and not sp.reset_wall_coin
+    return (not sp.reset_edits and not sp.reset_wall_coin
             and not sp.reset_place_tap)
 
 

@@ -20,6 +20,15 @@ pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference repo not mounted")
 
 
+def _novelty_list(novelty):
+    """``novelty`` is None, one (name, difficulty, ...) tuple, or a list of
+    tuples applied inner-first — the reference's free wrapper nesting
+    (novelty_wrappers.py:1586 wraps whatever env it is given)."""
+    if novelty is None:
+        return []
+    return list(novelty) if isinstance(novelty, list) else [novelty]
+
+
 def _ref_stack(env_id, limited, num_beams, novelty=None):
     load_reference()
     from gym_novel_gridworlds.wrappers import LimitActions as RefLimit
@@ -27,16 +36,16 @@ def _ref_stack(env_id, limited, num_beams, novelty=None):
     from gym_novel_gridworlds.novelty_wrappers import inject_novelty as ref_inject
 
     env = RefLidar(RefLimit(make_ref_env(env_id), set(limited)), num_beams)
-    if novelty:
-        env = ref_inject(env, *novelty)
+    for nov in _novelty_list(novelty):
+        env = ref_inject(env, *nov)
     return env
 
 
 def _ngx_stack(env_id, limited, num_beams, novelty=None):
     env = C.LidarInFront(C.LimitActions(C.make(env_id), set(limited)),
                          num_beams)
-    if novelty:
-        env = C.inject_novelty(env, *novelty)
+    for nov in _novelty_list(novelty):
+        env = C.inject_novelty(env, *nov)
     return env
 
 
@@ -74,7 +83,17 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
     rng = np.random.RandomState(seed + 2)
     for t in range(n_steps):
         a = int(rng.randint(env.action_space.n))
-        ro, rr, rd, ri = ref.step(a)
+        # AddJump/AddChop advertise Discrete(len(full actions_id)) over a
+        # limiter (novelty_wrappers.py:1278,1350) while stepping still
+        # translates through the limited table — ids beyond it raise the
+        # limiter's per-step assert in BOTH implementations, identically
+        try:
+            ro, rr, rd, ri = ref.step(a)
+        except AssertionError as e_ref:
+            with pytest.raises(AssertionError) as e_ngx:
+                env.step(a)
+            assert str(e_ngx.value) == str(e_ref), f"assert at {t} (a={a})"
+            continue
         o, r, d, i = env.step(a)
         assert_obs_equal(o, ro, f"obs at {t} (a={a})")
         assert r == rr, f"reward {r} != {rr} at {t} (a={a})"
@@ -254,6 +273,56 @@ def test_remap_action_difficulty_limited_table():
         o, r, d, _ = env.step(a)
         np.testing.assert_array_equal(o, np.asarray(ro), err_msg=str(a))
         assert r == rr and d == rd
+
+
+def test_stack_two_novelties_addjump_over_firewall():
+    """AddJumpAction(FireWall(env)) — outer Jump handler plus the inner
+    post-step fire-death check both active (novelty_wrappers.py:1340-1412
+    over :1151-1200)."""
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT | {"Jump"},
+          [("firewall", "easy"), ("addjump", "easy")], seed=31)
+
+
+def test_stack_two_novelties_breakincrease_over_fence():
+    """BreakIncrease(Fence(env)) — fence cells block reach while the outer
+    Break override doubles yields (novelty_wrappers.py:1415-1488 over
+    :847-889)."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_oak_fence"},
+          [("fence", "easy", "oak"), ("breakincrease", "easy", "tree_log")],
+          seed=33)
+
+
+def test_stack_two_novelties_addchop_over_axe():
+    """AddChopAction(AxeEasy(env)) — the outer Chop (2-yield break at cost
+    4320) coexists with the inner axe Break discount; Break is intercepted by
+    the INNER axe wrapper here because AddChop only handles Chop
+    (novelty_wrappers.py:1267-1337 over :9-114)."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Chop", "Select_wooden_axe"},
+          [("axe", "easy", "wooden"), ("addchop", "easy")],
+          seed=35, n_steps=300)
+
+
+def test_stack_two_novelties_additem_over_replaceitem():
+    """AddItem(ReplaceItem(env)) — both reset-time map rewrites run
+    inner-first on the same reset (novelty_wrappers.py:991-1034 over
+    :1095-1148)."""
+    drive("NovelGridworld-Bow-v0",
+          BOW_LIMIT | {"Select_spring", "Select_brick"},
+          [("replaceitem", "easy", "wall", "brick"),
+           ("additem", "easy", "spring")], seed=37)
+
+
+def test_stack_two_novelties_breakincrease_over_axe():
+    """BreakIncrease(AxeEasy(env)) — BOTH override Break; the OUTER wrapper
+    wins (BreakIncrease's inline break path runs at base cost 3600, never
+    reaching the axe discount) — override shadowing must match the
+    reference's wrapper dispatch exactly."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_wooden_axe"},
+          [("axe", "easy", "wooden"), ("breakincrease", "easy", "tree_log")],
+          seed=39, n_steps=300)
 
 
 @pytest.mark.parametrize("map_size", [12, 15, 20])
