@@ -109,6 +109,48 @@ def evaluate_checkpoint(env_id: str, ckpt_path: str, episodes: int = 128,
     }
 
 
+def evaluate_expert(env_id: str, episodes: int = 128, cap: int = 100,
+                    seed: int = 0):
+    """Evaluate the scripted expert (ngx.rl.experts) under the same protocol
+    as the batched evaluator: ``episodes`` episodes, ``cap``-step cap,
+    solved = done-before-cap with positive terminal reward.
+
+    The experts are host-side state machines (BFS over the live map), so
+    this runs through the compat facade one env at a time — the measured
+    solve/return ceiling for the eval table, not a throughput path.
+    """
+    import numpy as np
+    import ngx.compat as C
+    from .experts import get_expert
+
+    env = C.make(env_id)
+    expert = get_expert(env_id)
+    ret = np.zeros(episodes)
+    length = np.zeros(episodes, np.int32)
+    done_ever = np.zeros(episodes, bool)
+    solved = np.zeros(episodes, bool)
+    for ep in range(episodes):
+        np.random.seed(seed * 100_000 + ep)
+        env.reset()
+        total, done, r = 0.0, False, 0.0
+        t = 0
+        for t in range(cap):
+            _, r, done, _ = env.step(expert(env))
+            total += r
+            if done:
+                break
+        ret[ep] = total
+        length[ep] = t + 1
+        done_ever[ep] = done
+        solved[ep] = done and r > 0
+    return {
+        "mean_return": float(ret.mean()),
+        "solve_rate": float(solved.mean()),
+        "done_rate": float(done_ever.mean()),
+        "mean_length": float(length.mean()),
+    }
+
+
 def evaluate_sb2_zip(env_id: str, zip_path: str, episodes: int = 128,
                      cap: int = 100, seed: int = 0):
     """Run one of the reference's shipped SB2 checkpoints through the ngx
