@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("-novelty_difficulty", default="easy")
     p.add_argument("-novelty_arg1", default="")
     p.add_argument("-novelty_arg2", default="")
+    p.add_argument("-rollout_backend", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="acting-loop backend: the fused Pallas kernel wins "
+                        "15x on the chip; auto = pallas on TPU where the "
+                        "spec supports it, xla otherwise (docs/PERF.md)")
     p.add_argument("-seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -68,7 +73,7 @@ def main(argv=None):
     w.writeheader()
 
     key = jax.random.key(args.seed)
-    init, train_step = make_train(cfg)
+    init, train_step = make_train(cfg, rollout_backend=args.rollout_backend)
     carry = init(key)
     if args.resume:
         # full-fidelity resume: params AND optimizer state (the reference's
@@ -132,7 +137,9 @@ def main(argv=None):
             # NOTE: changed action/obs dims require a fresh head; the
             # reference only continues training when dims are unchanged
             # (remapaction, tests/train.py:73-89).
-            init2, train_step2 = make_train(cfg, spec_override=spec2)
+            init2, train_step2 = make_train(
+                cfg, spec_override=spec2,
+                rollout_backend=args.rollout_backend)
             carry2 = init2(jax.random.fold_in(key, 999))
             ts = carry[0]
             carry = (ts, carry2[1], carry2[2], carry2[3])

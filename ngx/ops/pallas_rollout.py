@@ -66,144 +66,96 @@ def supports_pallas_rollout(sp) -> bool:
 _R, _C, _FACE, _SEL, _CNT, _LACT, _LDONE, _PAD = range(8)
 
 
-def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
-                        action_source: str = "prng", interpret: bool = False,
-                        policy_params=None):
-    """Build ``run(seed[, actions]) -> (EnvState[batch], mean_reward, n_done)``.
+# ---- stateless counter-based RNG (shared by all kernels) -------------------
+# A murmur3-finalizer hash over (seed, step counter, call-site salt, lane)
+# instead of the pltpu hardware PRNG: pure uint32 jnp ops, so the same kernel
+# runs bit-identically under interpret mode on CPU (where ``pltpu.prng_seed``
+# has no lowering) and compiled on TPU.  Statistical quality (two avalanche
+# rounds) is ample for uniform cell picks and random actions.
+_GOLD = np.uint32(0x9E3779B1)
 
-    ``action_source='prng'``: uniform-random actions drawn on-core (bench
-    mode, zero HBM traffic).  ``action_source='input'``: the caller passes
-    ``actions: int32[T, batch]`` — used by the parity tests so the XLA scan
-    and this kernel can be driven with identical action streams.
-    ``action_source='policy'``: the FUSED policy+env rollout — actions come
-    from an MLP actor (``policy_params``, the flax ActorCritic tree) applied
-    to the LidarInFront observation, with the lidar, the policy matmuls (MXU)
-    and the Gumbel-argmax sample all computed inside the kernel; the whole
-    PPO acting loop runs on-core with zero HBM round-trips.  Requires
-    ``sp.obs_mode == OBS_LIDAR_FRONT`` (apply ngx.transforms.lidar_in_front).
+
+def _mix(x):
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _bits(seed, ctr, salt, shape):
+    salt_c = np.uint32((int(salt) * 0x85EBCA77) & 0xFFFFFFFF)
+    # scalar int32 -> uint32: same-width convert (tpu.bitcast needs vectors)
+    seed_u = seed.astype(jnp.uint32)
+    ctr_u = ctr.astype(jnp.uint32)
+    base = _mix(seed_u * _GOLD ^ ctr_u * np.uint32(0x632BE59B) ^ salt_c)
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            * np.uint32(0x01000193)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            * np.uint32(0x9E3779B9))
+    return _mix(_mix(lane ^ base))
+
+
+def _i32(x):
+    # Mosaic has no uint32->{int32,float32} convert; a bitcast is exact
+    # here because callers pre-shift the value under 2^31.
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _u01(seed, ctr, salt, shape):
+    # 24-bit mantissa uniforms in [0, 1)
+    return (_i32(_bits(seed, ctr, salt, shape) >> 8).astype(jnp.float32)
+            * np.float32(2.0 ** -24))
+
+
+def _randint(seed, ctr, salt, shape, n):
+    # top-31-bits modulo; bias < 2^-27 for n <= 64
+    return _i32(_bits(seed, ctr, salt, shape) >> 1) % n
+
+
+def _build_lidar_tables(sp):
+    """Host tables for the in-kernel LidarInFront observation.
+
+    The 8 full-circle beams sweep the SAME compass directions for every
+    facing (linspace(rad-pi, rad+pi) mod 2pi is facing-invariant,
+    observation_wrappers.py:42) — facing only permutes which direction lands
+    in which beam slot.  So the kernel computes 8 per-direction first-hits
+    once and applies a static per-facing column permutation.
     """
-    assert action_source in ("prng", "input", "policy"), action_source
-    assert supports_pallas_rollout(sp), sp.env_id
-    from ..utils import debug
-    if debug.enabled():
-        # make_step's NGX_DEBUG wrapper emits jax.debug.callback, which has
-        # no Mosaic lowering — fail here with a clear message instead of an
-        # opaque Pallas lowering error mid-trace.
-        raise RuntimeError(
-            "NGX_DEBUG=1 is unsupported in the Pallas rollout path (host "
-            "callbacks cannot lower inside a Mosaic kernel); unset NGX_DEBUG "
-            "or use the XLA scan path (ngx.vector)")
-    assert batch % block == 0, (batch, block)
-    H, I, A = sp.map_size, sp.n_items, sp.n_actions
+    from .rays import beam_offsets
+    assert sp.obs_mode == S.OBS_LIDAR_FRONT, \
+        "policy rollout needs a lidar_in_front spec"
+    I = sp.n_items
+    NB, K = sp.lidar_num_beams, sp.lidar_max_range
+    _tb = beam_offsets(NB, K, full_circle=True)        # [4, NB, K, 2]
+    PERM = np.zeros((4, NB), np.int64)
+    for _f in range(4):
+        for _b in range(NB):
+            _m = [d for d in range(NB)
+                  if np.array_equal(_tb[_f, _b], _tb[0, d])]
+            assert _m, "beam/direction decomposition failed"
+            PERM[_f, _b] = _m[0]
+    DIRS = _tb[0]                                      # [NB, K, 2]
+    _sorted = sorted(sp.lidar_items)
+    N_SLOTS = len(_sorted)
+    SLOT_OF_ITEM = np.full((I,), -1, np.int64)
+    for _i, _n in enumerate(sp.items):
+        if _n in _sorted:
+            SLOT_OF_ITEM[_i] = _sorted.index(_n)
+    KEEP = [i for _, i in sorted((n, i) for i, n in enumerate(sp.items))
+            if not sp.unbreakable[i]]
+    OBS_DIM = NB * N_SLOTS + len(KEEP)
+    return dict(NB=NB, K=K, DIRS=DIRS, PERM=PERM, SLOT_OF_ITEM=SLOT_OF_ITEM,
+                KEEP=KEEP, N_SLOTS=N_SLOTS, OBS_DIM=OBS_DIM)
+
+
+def _make_reset_block(sp, TB):
+    """Build the in-kernel block reset (native-mode distribution; see
+    ngx/core/reset.py's distribution-equivalence argument).  All host
+    constants become hoisted jaxpr consts of the returned function."""
+    H, I = sp.map_size, sp.n_items
     HW = H * H
-    TB, T = block, steps
-    nblk = batch // block
-
-    vstep = jax.vmap(make_step(sp, with_obs=False))
-
-    POLICY = action_source == "policy"
-    if POLICY:
-        # ---- host tables for the in-kernel LidarInFront observation --------
-        # The 8 full-circle beams sweep the SAME compass directions for every
-        # facing (linspace(rad-pi, rad+pi) mod 2pi is facing-invariant,
-        # observation_wrappers.py:42) — facing only permutes which direction
-        # lands in which beam slot.  So the kernel computes 8 per-direction
-        # first-hits once and applies a static per-facing column permutation.
-        from .rays import beam_offsets
-        assert sp.obs_mode == S.OBS_LIDAR_FRONT, \
-            "policy rollout needs a lidar_in_front spec"
-        NB, K = sp.lidar_num_beams, sp.lidar_max_range
-        _tb = beam_offsets(NB, K, full_circle=True)        # [4, NB, K, 2]
-        PERM = np.zeros((4, NB), np.int64)
-        for _f in range(4):
-            for _b in range(NB):
-                _m = [d for d in range(NB)
-                      if np.array_equal(_tb[_f, _b], _tb[0, d])]
-                assert _m, "beam/direction decomposition failed"
-                PERM[_f, _b] = _m[0]
-        DIRS = _tb[0]                                      # [NB, K, 2]
-        _sorted = sorted(sp.lidar_items)
-        N_SLOTS = len(_sorted)
-        SLOT_OF_ITEM = np.full((I,), -1, np.int64)
-        for _i, _n in enumerate(sp.items):
-            if _n in _sorted:
-                SLOT_OF_ITEM[_i] = _sorted.index(_n)
-        KEEP = [i for _, i in sorted((n, i) for i, n in enumerate(sp.items))
-                if not sp.unbreakable[i]]
-        OBS_DIM = NB * N_SLOTS + len(KEEP)
-        # flax ActorCritic pi tower -> plain numpy (becomes hoisted consts)
-        _pp = policy_params.get("params", policy_params)
-        _nh = sum(1 for k in _pp if k.startswith("pi_") and k != "pi_out")
-        PI_LAYERS = [(np.asarray(_pp[f"pi_{i}"]["kernel"], np.float32),
-                      np.asarray(_pp[f"pi_{i}"]["bias"], np.float32))
-                     for i in range(_nh)]
-        PI_OUT = (np.asarray(_pp["pi_out"]["kernel"], np.float32),
-                  np.asarray(_pp["pi_out"]["bias"], np.float32))
-        assert PI_LAYERS[0][0].shape[0] == OBS_DIM, \
-            (PI_LAYERS[0][0].shape, OBS_DIM)
-        assert PI_OUT[0].shape[1] == A, (PI_OUT[0].shape, A)
-
-        def _lidar_front_obs(st):
-            """LidarInFront obs [TB, OBS_DIM] f32, Mosaic-lowerable: one-hot
-            map reads (no gathers), static permutations, column stacks.
-            Same probe sequence/rounding as ngx.ops.rays.make_lidar_fn."""
-            m, r, c, f = st.map, st.agent[:, 0], st.agent[:, 1], st.facing
-            iota_hw = jnp.asarray(IOTA_HW)[None, :]
-            dist_d, hv_d = [], []
-            for d in range(NB):
-                found = jnp.zeros((TB,), jnp.int32)
-                dist = jnp.zeros((TB,), jnp.int32)
-                hv = jnp.zeros((TB,), jnp.int32)
-                for k in range(K):
-                    dr, dc = int(DIRS[d, k, 0]), int(DIRS[d, k, 1])
-                    rr = jnp.clip(r + dr, 0, H - 1)
-                    cc = jnp.clip(c + dc, 0, H - 1)
-                    p = rr * H + cc
-                    v = jnp.sum(jnp.where(iota_hw == p[:, None], m, 0), axis=1)
-                    new = (found == 0) & (v != 0)
-                    dist = jnp.where(new, k + 1, dist)
-                    hv = jnp.where(new, v, hv)
-                    found = jnp.where(new, 1, found)
-                dist_d.append(dist)
-                hv_d.append(hv)
-            dist_dir = jnp.stack(dist_d, axis=1)           # [TB, NB]
-            hv_dir = jnp.stack(hv_d, axis=1)
-            fb_dist = jnp.zeros((TB, NB), jnp.int32)
-            fb_hv = jnp.zeros((TB, NB), jnp.int32)
-            for fc_ in range(4):                           # static beam perm
-                sel = jnp.where(f == fc_, 1, 0)[:, None]
-                pd_ = jnp.stack([dist_dir[:, int(PERM[fc_, b])]
-                                 for b in range(NB)], axis=1)
-                ph_ = jnp.stack([hv_dir[:, int(PERM[fc_, b])]
-                                 for b in range(NB)], axis=1)
-                fb_dist = fb_dist + sel * pd_
-                fb_hv = fb_hv + sel * ph_
-            slot = jnp.full((TB, NB), -1, jnp.int32)
-            for i in range(I):                             # tiny item table
-                if SLOT_OF_ITEM[i] >= 0:
-                    slot = jnp.where(fb_hv == i,
-                                     jnp.int32(SLOT_OF_ITEM[i]), slot)
-            cols = []
-            for b in range(NB):
-                for s_ in range(N_SLOTS):
-                    cols.append(jnp.where(
-                        (fb_dist[:, b] > 0) & (slot[:, b] == s_),
-                        fb_dist[:, b], 0))
-            for i in KEEP:
-                cols.append(st.inventory[:, i])
-            return jnp.stack(cols, axis=1).astype(jnp.float32)
-
-        def _policy_logits(st):
-            h = _lidar_front_obs(st)
-            for W, bvec in PI_LAYERS:                      # MXU matmuls
-                h = jnp.tanh(jnp.dot(h, jnp.asarray(W),
-                                     preferred_element_type=jnp.float32)
-                             + jnp.asarray(bvec)[None, :])
-            return (jnp.dot(h, jnp.asarray(PI_OUT[0]),
-                            preferred_element_type=jnp.float32)
-                    + jnp.asarray(PI_OUT[1])[None, :])
-
-    # ---- host constants (embedded in the kernel at trace time) ------------
     wall = sp.items.index("wall") if "wall" in sp.items else 0
     base = np.zeros((H, H), np.int32)
     base[0, :] = base[-1, :] = base[:, 0] = base[:, -1] = wall
@@ -243,50 +195,6 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
                 if 0 <= _rr < H and 0 <= _cc < H:
                     ADJ[_rr * H + _cc, _i] = 1.0
 
-    # ---- stateless counter-based RNG ---------------------------------------
-    # A murmur3-finalizer hash over (seed, step counter, call-site salt, lane)
-    # instead of the pltpu hardware PRNG: pure uint32 jnp ops, so the same
-    # kernel runs bit-identically under interpret mode on CPU (where
-    # `pltpu.prng_seed` has no lowering) and compiled on TPU.  Statistical
-    # quality (two avalanche rounds) is ample for uniform cell picks and
-    # random actions.
-    _GOLD = np.uint32(0x9E3779B1)
-
-    def _mix(x):
-        x = x ^ (x >> 16)
-        x = x * np.uint32(0x85EBCA6B)
-        x = x ^ (x >> 13)
-        x = x * np.uint32(0xC2B2AE35)
-        x = x ^ (x >> 16)
-        return x
-
-    def _bits(seed, ctr, salt, shape):
-        salt_c = np.uint32((int(salt) * 0x85EBCA77) & 0xFFFFFFFF)
-        # scalar int32 -> uint32: same-width convert (tpu.bitcast needs vectors)
-        seed_u = seed.astype(jnp.uint32)
-        ctr_u = ctr.astype(jnp.uint32)
-        base = _mix(seed_u * _GOLD ^ ctr_u * np.uint32(0x632BE59B) ^ salt_c)
-        lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-                * np.uint32(0x01000193)
-                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-                * np.uint32(0x9E3779B9))
-        return _mix(_mix(lane ^ base))
-
-    def _i32(x):
-        # Mosaic has no uint32->{int32,float32} convert; a bitcast is exact
-        # here because callers pre-shift the value under 2^31.
-        return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-    def _u01(seed, ctr, salt, shape):
-        # 24-bit mantissa uniforms in [0, 1)
-        return (_i32(_bits(seed, ctr, salt, shape) >> 8).astype(jnp.float32)
-                * np.float32(2.0 ** -24))
-
-    def _randint(seed, ctr, salt, shape, n):
-        # top-31-bits modulo; bias < 2^-27 for n <= 64
-        return _i32(_bits(seed, ctr, salt, shape) >> 1) % n
-
-    # ---- block reset (native-mode distribution; see ngx/core/reset.py) ----
     def _pick_uniform_valid(valid, seed, ctr, salt):
         """One-hot [TB, HW] of a uniform pick among each row's valid cells
         (empty row -> all-false).  max-of-iid-uniforms == uniform pick; the
@@ -348,6 +256,136 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
             # lowers as i8 and Mosaic has no i8->i1 trunc for the merge select
             last_done=jnp.zeros((TB,), jnp.int32),
         )
+
+    return _reset_block
+
+
+def _make_lidar_obs_fn(sp, tab, TB):
+    """LidarInFront obs [TB, OBS_DIM] f32, Mosaic-lowerable: one-hot map
+    reads (no gathers), static permutations, column stacks.  Same probe
+    sequence/rounding as ngx.ops.rays.make_lidar_fn."""
+    H, I = sp.map_size, sp.n_items
+    HW = H * H
+    NB, K = tab["NB"], tab["K"]
+    DIRS, PERM = tab["DIRS"], tab["PERM"]
+    SLOT_OF_ITEM, KEEP, N_SLOTS = (tab["SLOT_OF_ITEM"], tab["KEEP"],
+                                   tab["N_SLOTS"])
+    IOTA_HW = np.arange(HW, dtype=np.int32)
+
+    def _lidar_front_obs(st):
+        m, r, c, f = st.map, st.agent[:, 0], st.agent[:, 1], st.facing
+        iota_hw = jnp.asarray(IOTA_HW)[None, :]
+        dist_d, hv_d = [], []
+        for d in range(NB):
+            found = jnp.zeros((TB,), jnp.int32)
+            dist = jnp.zeros((TB,), jnp.int32)
+            hv = jnp.zeros((TB,), jnp.int32)
+            for k in range(K):
+                dr, dc = int(DIRS[d, k, 0]), int(DIRS[d, k, 1])
+                rr = jnp.clip(r + dr, 0, H - 1)
+                cc = jnp.clip(c + dc, 0, H - 1)
+                p = rr * H + cc
+                v = jnp.sum(jnp.where(iota_hw == p[:, None], m, 0), axis=1)
+                new = (found == 0) & (v != 0)
+                dist = jnp.where(new, k + 1, dist)
+                hv = jnp.where(new, v, hv)
+                found = jnp.where(new, 1, found)
+            dist_d.append(dist)
+            hv_d.append(hv)
+        dist_dir = jnp.stack(dist_d, axis=1)           # [TB, NB]
+        hv_dir = jnp.stack(hv_d, axis=1)
+        fb_dist = jnp.zeros((TB, NB), jnp.int32)
+        fb_hv = jnp.zeros((TB, NB), jnp.int32)
+        for fc_ in range(4):                           # static beam perm
+            sel = jnp.where(f == fc_, 1, 0)[:, None]
+            pd_ = jnp.stack([dist_dir[:, int(PERM[fc_, b])]
+                             for b in range(NB)], axis=1)
+            ph_ = jnp.stack([hv_dir[:, int(PERM[fc_, b])]
+                             for b in range(NB)], axis=1)
+            fb_dist = fb_dist + sel * pd_
+            fb_hv = fb_hv + sel * ph_
+        slot = jnp.full((TB, NB), -1, jnp.int32)
+        for i in range(I):                             # tiny item table
+            if SLOT_OF_ITEM[i] >= 0:
+                slot = jnp.where(fb_hv == i,
+                                 jnp.int32(SLOT_OF_ITEM[i]), slot)
+        cols = []
+        for b in range(NB):
+            for s_ in range(N_SLOTS):
+                cols.append(jnp.where(
+                    (fb_dist[:, b] > 0) & (slot[:, b] == s_),
+                    fb_dist[:, b], 0))
+        for i in KEEP:
+            cols.append(st.inventory[:, i])
+        return jnp.stack(cols, axis=1).astype(jnp.float32)
+
+    return _lidar_front_obs
+
+
+def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
+                        action_source: str = "prng", interpret: bool = False,
+                        policy_params=None):
+    """Build ``run(seed[, actions]) -> (EnvState[batch], mean_reward, n_done)``.
+
+    ``action_source='prng'``: uniform-random actions drawn on-core (bench
+    mode, zero HBM traffic).  ``action_source='input'``: the caller passes
+    ``actions: int32[T, batch]`` — used by the parity tests so the XLA scan
+    and this kernel can be driven with identical action streams.
+    ``action_source='policy'``: the FUSED policy+env rollout — actions come
+    from an MLP actor (``policy_params``, the flax ActorCritic tree) applied
+    to the LidarInFront observation, with the lidar, the policy matmuls (MXU)
+    and the Gumbel-argmax sample all computed inside the kernel; the whole
+    PPO acting loop runs on-core with zero HBM round-trips.  Requires
+    ``sp.obs_mode == OBS_LIDAR_FRONT`` (apply ngx.transforms.lidar_in_front).
+    """
+    assert action_source in ("prng", "input", "policy"), action_source
+    assert supports_pallas_rollout(sp), sp.env_id
+    from ..utils import debug
+    if debug.enabled():
+        # make_step's NGX_DEBUG wrapper emits jax.debug.callback, which has
+        # no Mosaic lowering — fail here with a clear message instead of an
+        # opaque Pallas lowering error mid-trace.
+        raise RuntimeError(
+            "NGX_DEBUG=1 is unsupported in the Pallas rollout path (host "
+            "callbacks cannot lower inside a Mosaic kernel); unset NGX_DEBUG "
+            "or use the XLA scan path (ngx.vector)")
+    assert batch % block == 0, (batch, block)
+    H, I, A = sp.map_size, sp.n_items, sp.n_actions
+    HW = H * H
+    TB, T = block, steps
+    nblk = batch // block
+
+    vstep = jax.vmap(make_step(sp, with_obs=False))
+
+    POLICY = action_source == "policy"
+    if POLICY:
+        tab = _build_lidar_tables(sp)
+        OBS_DIM = tab["OBS_DIM"]
+        # flax ActorCritic pi tower -> plain numpy (becomes hoisted consts)
+        _pp = policy_params.get("params", policy_params)
+        _nh = sum(1 for k in _pp if k.startswith("pi_") and k != "pi_out")
+        PI_LAYERS = [(np.asarray(_pp[f"pi_{i}"]["kernel"], np.float32),
+                      np.asarray(_pp[f"pi_{i}"]["bias"], np.float32))
+                     for i in range(_nh)]
+        PI_OUT = (np.asarray(_pp["pi_out"]["kernel"], np.float32),
+                  np.asarray(_pp["pi_out"]["bias"], np.float32))
+        assert PI_LAYERS[0][0].shape[0] == OBS_DIM, \
+            (PI_LAYERS[0][0].shape, OBS_DIM)
+        assert PI_OUT[0].shape[1] == A, (PI_OUT[0].shape, A)
+
+        _lidar_front_obs = _make_lidar_obs_fn(sp, tab, TB)
+
+        def _policy_logits(st):
+            h = _lidar_front_obs(st)
+            for W, bvec in PI_LAYERS:                      # MXU matmuls
+                h = jnp.tanh(jnp.dot(h, jnp.asarray(W),
+                                     preferred_element_type=jnp.float32)
+                             + jnp.asarray(bvec)[None, :])
+            return (jnp.dot(h, jnp.asarray(PI_OUT[0]),
+                            preferred_element_type=jnp.float32)
+                    + jnp.asarray(PI_OUT[1])[None, :])
+
+    _reset_block = _make_reset_block(sp, TB)
 
     def _merge_done(done, fresh, stepped):
         # rank-expand through int32 (Mosaic can't insert minor dims on i1)
@@ -559,6 +597,242 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
         run.lidar_obs_fn = _lidar_front_obs
         run.policy_logits_fn = _policy_logits
         run.obs_dim = OBS_DIM
+    return run
+
+
+def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
+                              cap: int = 100, hidden=(64, 64),
+                              interpret=None):
+    """The fused acting rollout FOR THE PPO TRAINER — the 'policy' kernel
+    re-plumbed for training:
+
+    * policy params are runtime INPUTS (VMEM refs), not trace-time constants
+      — the same compiled kernel serves every update step;
+    * the initial EnvState is an INPUT (training persists env state across
+      updates), packed as (map, iregs, fregs, inv) blocks;
+    * per-step trajectories (obs, action, reward, done) stream to HBM —
+      T x block outputs per grid program.  logp/value are NOT computed
+      in-kernel: the trainer recomputes them outside in ONE batched MXU pass
+      over the emitted obs, which makes old_logp consistent with the update's
+      recompute path bit-for-bit by construction;
+    * the trainer's episode-cap truncation (ngx/rl/train.py: capped envs
+      auto-reset and count as done for GAE) runs in-kernel.
+
+    Returns ``run(seed, state: EnvState[batch], params) ->
+    (EnvState[batch], obs[T,B,OBS_DIM] f32, action[T,B] i32,
+    reward[T,B] f32, done[T,B] bool)``.
+    """
+    assert supports_pallas_rollout(sp), sp.env_id
+    assert batch % block == 0, (batch, block)
+    if interpret is None:     # auto: Mosaic on the chip, interpreter elsewhere
+        interpret = jax.default_backend() != "tpu"
+    from ..utils import debug
+    if debug.enabled():
+        raise RuntimeError("NGX_DEBUG=1 is unsupported in the Pallas rollout "
+                           "path (host callbacks cannot lower in Mosaic)")
+    H, I, A = sp.map_size, sp.n_items, sp.n_actions
+    HW = H * H
+    TB, T = block, steps
+    nblk = batch // block
+    nh = len(hidden)
+
+    vstep = jax.vmap(make_step(sp, with_obs=False))
+    tab = _build_lidar_tables(sp)
+    OBS_DIM = tab["OBS_DIM"]
+    lidar_obs = _make_lidar_obs_fn(sp, tab, TB)
+    reset_block = _make_reset_block(sp, TB)
+
+    def _pack(st, rs, ds):
+        iregs = jnp.stack(
+            [st.agent[:, 0], st.agent[:, 1], st.facing, st.selected,
+             st.step_count, st.last_action, st.last_done, ds], axis=-1)
+        fregs = jnp.stack([st.last_reward, st.last_cost, rs,
+                           jnp.zeros_like(st.last_reward)], axis=-1)
+        return st.map, iregs, fregs, st.inventory
+
+    def _unpack(m, ir, fc, inv):
+        return EnvState(
+            map=m, agent=ir[:, :2], facing=ir[:, _FACE],
+            inventory=inv, selected=ir[:, _SEL], step_count=ir[:, _CNT],
+            last_action=ir[:, _LACT], last_reward=fc[:, 0],
+            last_cost=fc[:, 1], last_done=ir[:, _LDONE])
+
+    # ---- the per-step compute, traced to a jaxpr with params as ARGS ------
+    def _step_arrays(seed, t, m, ir, fc, inv, *pi):
+        st = _unpack(m, ir, fc, inv)
+        ctr = t + 1
+        obs = lidar_obs(st)                              # [TB, OBS_DIM] f32
+        h = obs
+        k = 0
+        for _ in range(nh):                              # MXU matmuls
+            h = jnp.tanh(jnp.dot(h, pi[k],
+                                 preferred_element_type=jnp.float32)
+                         + pi[k + 1])
+            k += 2
+        logits = (jnp.dot(h, pi[k], preferred_element_type=jnp.float32)
+                  + pi[k + 1])
+        # Gumbel-argmax == categorical(logits); argmax via max + min-index
+        u = _u01(seed, ctr, 5, (TB, A))
+        score = logits - jnp.log(-jnp.log(u + 1e-10) + 1e-10)
+        mx = jnp.max(score, axis=1, keepdims=True)
+        a = jnp.min(jnp.where(score >= mx,
+                              jnp.asarray(np.arange(A, dtype=np.int32))[None, :],
+                              A), axis=1)
+        ns, _, r, done, _info = vstep(st, a)
+        ns = ns.replace(last_done=jnp.where(done, 1, 0))
+        # the trainer's time-limit truncation: capped envs reset, done for GAE
+        done_t = done | (ns.step_count >= cap)
+        di = jnp.where(done_t, 1, 0)
+        packed = _pack(ns, fc[:, 2] + r, ir[:, _PAD] + di)
+
+        def do_merge(ops):
+            p, d2 = ops
+            fresh = _pack(reset_block(seed, ctr), p[2][:, 2], p[1][:, _PAD])
+            return tuple(jnp.where(d2 != 0, f, n) for f, n in zip(fresh, p))
+
+        merged = jax.lax.cond(jnp.any(done_t), do_merge, lambda ops: ops[0],
+                              (packed, di[:, None]))
+        return merged + (obs, a, r, di)
+
+    _seed_ex = jnp.zeros((), jnp.int32)
+    _state_ex = (jnp.zeros((TB, HW), jnp.int32), jnp.zeros((TB, 8), jnp.int32),
+                 jnp.zeros((TB, 4), jnp.float32), jnp.zeros((TB, I), jnp.int32))
+    _pi_ex = []
+    d_in = OBS_DIM
+    for hdim in hidden:
+        _pi_ex += [jnp.zeros((d_in, hdim), jnp.float32),
+                   jnp.zeros((1, hdim), jnp.float32)]
+        d_in = hdim
+    _pi_ex += [jnp.zeros((d_in, A), jnp.float32),
+               jnp.zeros((1, A), jnp.float32)]
+    n_pi = len(_pi_ex)
+    step_jaxpr = jax.make_jaxpr(_step_arrays)(_seed_ex, _seed_ex, *_state_ex,
+                                              *_pi_ex)
+    consts = [jnp.asarray(np.asarray(c)) for c in step_jaxpr.consts]
+    n_consts = len(consts)
+
+    def kernel(seed_ref, *refs):
+        state_in = refs[:4]
+        pi_refs = refs[4:4 + n_pi]
+        const_refs = refs[4 + n_pi:4 + n_pi + n_consts]
+        (map_out, iregs_out, fregs_out, inv_out,
+         obs_out, act_out, rew_out, done_out) = refs[4 + n_pi + n_consts:
+                                                     4 + n_pi + n_consts + 8]
+        map_s, ir_s, fc_s, inv_s = refs[4 + n_pi + n_consts + 8:]
+        blk = pl.program_id(0)
+        seed = seed_ref[0] + blk * jnp.int32(7919)
+
+        map_s[:, :] = state_in[0][...]
+        ir_s[:, :] = state_in[1][...]
+        fc_s[:, :] = state_in[2][...]
+        inv_s[:, :] = state_in[3][...]
+
+        cs = [const_refs[k][...] for k in range(n_consts)]
+        pi = tuple(pi_refs[k][...] for k in range(n_pi))
+
+        def body(t, _):
+            args = (seed, t, map_s[:, :], ir_s[:, :], fc_s[:, :],
+                    inv_s[:, :]) + pi
+            (m, ir, fc, inv, obs, a, r, di) = jax.core.eval_jaxpr(
+                step_jaxpr.jaxpr, cs, *args)
+            map_s[:, :] = m
+            ir_s[:, :] = ir
+            fc_s[:, :] = fc
+            inv_s[:, :] = inv
+            # bfloat16 emission is LOSSLESS for this obs: every component is
+            # a small integer (lidar first-hit distance <= the map
+            # hypotenuse, inventory counts <= a few dozen), all < 256 —
+            # exactly representable in bf16's 8-bit mantissa.  Halves the
+            # VMEM output block and the HBM traffic.
+            obs_out[t, :, :] = obs.astype(jnp.bfloat16)
+            act_out[t, :] = a
+            rew_out[t, :] = r
+            done_out[t, :] = di
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        map_out[:, :] = map_s[:, :]
+        iregs_out[:, :] = ir_s[:, :]
+        fregs_out[:, :] = fc_s[:, :]
+        inv_out[:, :] = inv_s[:, :]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((batch, HW), jnp.int32),
+        jax.ShapeDtypeStruct((batch, 8), jnp.int32),
+        jax.ShapeDtypeStruct((batch, 4), jnp.float32),
+        jax.ShapeDtypeStruct((batch, I), jnp.int32),
+        jax.ShapeDtypeStruct((T, batch, OBS_DIM), jnp.bfloat16),
+        jax.ShapeDtypeStruct((T, batch), jnp.int32),
+        jax.ShapeDtypeStruct((T, batch), jnp.float32),
+        jax.ShapeDtypeStruct((T, batch), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((TB, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, I), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, TB, OBS_DIM), lambda i, *_: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+    )
+    in_specs = [
+        pl.BlockSpec((TB, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, I), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
+                 for _ in range(n_pi + n_consts)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((TB, HW), jnp.int32),
+            pltpu.VMEM((TB, 8), jnp.int32),
+            pltpu.VMEM((TB, 4), jnp.float32),
+            pltpu.VMEM((TB, I), jnp.int32),
+        ],
+    )
+    call = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          interpret=interpret)
+
+    def run(seed, state: EnvState, params):
+        pp = params.get("params", params)
+        flat = []
+        for i in range(nh):
+            flat += [jnp.asarray(pp[f"pi_{i}"]["kernel"], jnp.float32),
+                     jnp.asarray(pp[f"pi_{i}"]["bias"],
+                                 jnp.float32).reshape(1, -1)]
+        flat += [jnp.asarray(pp["pi_out"]["kernel"], jnp.float32),
+                 jnp.asarray(pp["pi_out"]["bias"], jnp.float32).reshape(1, -1)]
+        seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+        ld = jnp.asarray(state.last_done)
+        iregs = jnp.stack(
+            [state.agent[:, 0], state.agent[:, 1], state.facing,
+             state.selected, state.step_count, state.last_action,
+             jnp.where(ld, 1, 0).astype(jnp.int32),
+             jnp.zeros((batch,), jnp.int32)], axis=-1)
+        fregs = jnp.stack(
+            [state.last_reward, state.last_cost,
+             jnp.zeros((batch,), jnp.float32),
+             jnp.zeros((batch,), jnp.float32)], axis=-1)
+        m, ir, fc, inv, obs, act, rew, done = call(
+            seed_arr, jnp.asarray(state.map, jnp.int32), iregs, fregs,
+            jnp.asarray(state.inventory, jnp.int32), *flat, *consts)
+        out_state = EnvState(
+            map=m, agent=ir[:, :2], facing=ir[:, _FACE], inventory=inv,
+            selected=ir[:, _SEL], step_count=ir[:, _CNT],
+            last_action=ir[:, _LACT], last_reward=fc[:, 0],
+            last_cost=fc[:, 1], last_done=ir[:, _LDONE].astype(bool))
+        # bf16 -> f32 is exact here (small-int obs; see the kernel comment)
+        return out_state, obs.astype(jnp.float32), act, rew, done.astype(bool)
+
+    run.obs_dim = OBS_DIM
     return run
 
 

@@ -53,13 +53,19 @@ def _flat_obs(spec):
 
 
 def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
-               spec_override=None):
+               spec_override=None, rollout_backend: str = "auto"):
     """Returns (init_fn, train_step_fn).
 
     init_fn(key) -> (train_state, env_state, obs, ep_returns)
     train_step_fn(carry, key) -> (carry, metrics)  — one rollout+update cycle,
     fully jitted.  ``spec_override`` trains on a custom (e.g. novelty-
     injected) spec instead of the plain preset.
+
+    ``rollout_backend``: 'xla' = the lax.scan acting loop; 'pallas' = the
+    fused Mosaic acting kernel (ngx.ops.pallas_rollout.
+    make_pallas_train_rollout — measured 15x the XLA acting loop on the
+    chip, docs/PERF.md); 'auto' picks pallas on TPU backends for specs the
+    kernel supports, single-mesh only (the XLA path is the sharded one).
     """
     spec = spec_override or __import__("ngx").make_spec(cfg.env_id)
     if spec.obs_mode != S.OBS_LIDAR_FRONT:
@@ -69,6 +75,14 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
 
     B, T = cfg.num_envs, cfg.rollout_steps
     batch_shard = (NamedSharding(mesh, P("env")) if mesh is not None else None)
+
+    assert rollout_backend in ("auto", "xla", "pallas"), rollout_backend
+    use_pallas = False
+    if rollout_backend != "xla" and mesh is None:
+        from ..ops.pallas_rollout import supports_pallas_rollout
+        if supports_pallas_rollout(spec) and B % 128 == 0:
+            use_pallas = (rollout_backend == "pallas"
+                          or jax.default_backend() == "tpu")
 
     def init(key):
         k_env, k_net = jax.random.split(key)
@@ -104,7 +118,7 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         done = done | capped
         return env_state, next_obs, action, logp, value, reward, done
 
-    def rollout(params, env_state, obs, key):
+    def rollout_xla(params, env_state, obs, key):
         def body(carry, key_t):
             env_state, obs = carry
             (env_state, next_obs, action, logp, value, reward, done
@@ -115,6 +129,38 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         (env_state, last_obs), traj = jax.lax.scan(
             body, (env_state, obs), jax.random.split(key, T))
         return env_state, last_obs, traj
+
+    if use_pallas:
+        from ..core.step import make_step
+        from ..ops.pallas_rollout import make_pallas_train_rollout
+
+        # block=128: the T-step obs output block plus the lidar intermediates
+        # exceed v5e's 16MB VMEM at block 256 (docs/PERF.md VMEM notes)
+        run_roll = make_pallas_train_rollout(
+            spec, B, T, block=128, cap=cfg.episode_cap,
+            hidden=tuple(cfg.hidden))
+        get_obs_v = jax.vmap(make_step(spec).get_obs)
+
+        def rollout_pallas(params, env_state, obs, key):
+            # the kernel recomputes obs from state in-kernel (bit-identical
+            # to the carried obs — tests/test_pallas.py); actions come from
+            # the kernel's counter RNG seeded from this step's key
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            env_state, obs_t, action, reward, done = run_roll(
+                seed, env_state, params)
+            # logp/value in ONE batched MXU pass over the emitted obs —
+            # exactly the update's recompute path, so ratio==1 at step 0
+            logits, value = model.apply(
+                params, obs_t.reshape(T * B, -1))
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits),
+                action.reshape(T * B)[:, None], axis=1)[:, 0].reshape(T, B)
+            traj = (obs_t, action, logp, value.reshape(T, B), reward, done)
+            return env_state, get_obs_v(env_state), traj
+
+        rollout = rollout_pallas
+    else:
+        rollout = rollout_xla
 
     def gae(values, rewards, dones, last_value):
         def body(carry, xs):
@@ -209,10 +255,10 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
 
 
 def train(cfg: PPOConfig, num_updates: int, key=None, mesh: Optional[Mesh] = None,
-          log_every: int = 10):
+          log_every: int = 10, rollout_backend: str = "auto"):
     """Host loop: init once, then num_updates jitted train steps."""
     key = jax.random.key(0) if key is None else key
-    init, train_step = make_train(cfg, mesh)
+    init, train_step = make_train(cfg, mesh, rollout_backend=rollout_backend)
     carry = init(key)
     step = jax.jit(train_step)
     history = []
