@@ -104,16 +104,34 @@ def main(argv=None):
     import ngx.compat as C
 
     if args.env == "NovelGridworld-v5":
-        # curriculum chain v1..v5 with state restore (enjoy.py:58-100)
-        chain = [f"NovelGridworld-v{i}" for i in range(1, 6)]
+        # The reference's v5 curriculum (enjoy.py:58-100): the chain is
+        # v1 -> v2 -> v3 (craft tree_tap) -> v4 -> v3 AGAIN (craft
+        # pogo_stick), each stage restoring the previous env's terminal
+        # state — v5 itself is never stepped.  Per-stage policies come from
+        # ``-ckpt <dir>``: ``<env>.zip`` (the reference's shipped SB2
+        # agents, e.g. /root/reference/trained_agents) or a native
+        # ``<env>/{best,final}`` checkpoint; random actions otherwise.
+        chain = ["NovelGridworld-v1", "NovelGridworld-v2",
+                 "NovelGridworld-v3", "NovelGridworld-v4",
+                 "NovelGridworld-v3"]
         prev = None
-        for env_id in chain:
+        for stage, env_id in enumerate(chain):
             env = C.make(env_id, env=prev)
             policy = None
-            stage_ckpt = os.path.join(args.ckpt, env_id) if args.ckpt else ""
-            if stage_ckpt and os.path.exists(stage_ckpt):
-                policy = load_policy(stage_ckpt, env.spec)
-            print(f"--- {env_id} ---")
+            if args.ckpt:
+                zipp = os.path.join(args.ckpt, env_id + ".zip")
+                native = next(
+                    (p for k in ("best", "final")
+                     if os.path.exists(p := os.path.join(args.ckpt, env_id, k))),
+                    None)
+                if os.path.exists(zipp):
+                    # SB2 agents act on the env's built-in lidar obs
+                    policy = load_policy(zipp, env.spec)
+                elif native:
+                    # native agents act on the LidarInFront observation
+                    env = C.LidarInFront(env, num_beams=args.num_beams)
+                    policy = load_policy(native, env.spec)
+            print(f"--- stage {stage}: {env_id} ---")
             run_episodes(env, policy, 1, args.episode_cap, args.render,
                          args.seed)
             prev = env
