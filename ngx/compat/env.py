@@ -324,11 +324,19 @@ class NGXEnv:
             self._state = self._state.replace(
                 inventory=np.where(setv >= 0, setv, inv).astype(np.int32))
 
-        if sp.reset_inv_set is not None and not sp.stale_reset_obs:
-            _apply_grant()
         self.last_action = 0
         self.last_step_cost = 0.0
         base_mode = sp.base_obs_mode if sp.base_obs_mode >= 0 else sp.obs_mode
+        # staleness follows the obs that is actually RETURNED: a fence-family
+        # reset hands back the BASE env's obs (reset_obs_base), and when that
+        # base obs is the raw dict it aliases the live inventory — the
+        # reference's get_observation embeds the inventory dict itself
+        # (pogostick_v1_env.py:214-228) — so an inner axe re-grant IS visible
+        # through it even though the stack's own obs is a (stale) array.
+        stale = sp.stale_reset_obs and not (sp.reset_obs_base
+                                            and base_mode == S.OBS_DICT)
+        if sp.reset_inv_set is not None and not stale:
+            _apply_grant()
         if sp.reset_obs_base and base_mode != sp.obs_mode:
             # Fence/AddItem/ReplaceItem resets return the BASE env's
             # observation, bypassing any obs wrapper in the stack
@@ -337,7 +345,7 @@ class NGXEnv:
             obs = self._decode_obs(_get_obs_fn(sp_b)(self._state), sp_b)
         else:
             obs = self.get_observation()
-        if sp.reset_inv_set is not None and sp.stale_reset_obs:
+        if sp.reset_inv_set is not None and stale:
             _apply_grant()
         self._prev_inventory = np.asarray(self._state.inventory)
         return obs

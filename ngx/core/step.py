@@ -560,11 +560,15 @@ def make_step(sp: S.EnvSpec, with_obs: bool = True):
                           t1(ccost_missing, oh_rec, jnp.float32)))
             cost = sel(is_craft, craft_cost, cost)
 
-        # FenceRestriction tail-override quirk: allowed breaks report
-        # result=True / cost=3600 / msg='' and step_count += 2
-        # (novelty_wrappers.py:930,960-984).
+        # FenceRestriction tail-override quirk: every DELEGATED break (front
+        # breakable, not fence-gated) reports result=True / cost=3600 /
+        # msg='' and step_count += 2 — even when the inner wrapper's break
+        # FAILED (e.g. an axetobreak below without the axe selected: the
+        # wrapper rebinds info after ``self.env.step`` and rebuilds it from
+        # its own result/message, novelty_wrappers.py:930,950-984).  The
+        # inner reward/mutation are kept.
         if fence_active:
-            fdel = is_break & break_ok
+            fdel = is_break & breakable & ~fence_blocked
             result = result | fdel
             msg = sel(fdel, S.MSG_NONE, msg)
             cost = sel(fdel, jnp.float32(sp.break_cost), cost)

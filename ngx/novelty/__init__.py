@@ -198,6 +198,12 @@ def _axe(sp, difficulty, material, breakincrease, required) -> EnvSpec:
         axe_id=axe_id,
         axe_cost_mult=_AXE_COST_MULT[material],
         axe_breakincrease=breakincrease == "true",
+        # The axe wrappers re-implement the WHOLE Break path inline
+        # (novelty_wrappers.py:45-110) — stacked OVER a FenceRestriction the
+        # outer axe handler intercepts Break before the gate runs, so any
+        # fence gating in the spec is cleared (outer wrapper wins; the fence
+        # cells themselves stay, reset_edits is untouched).
+        fence_restrict=S.FENCE_NONE,
         novelty_tag=sp.novelty_tag
         + f"|{'axetobreak' if required else 'axe'}-{difficulty}-{material}"
         + ("-bi" if breakincrease == "true" else ""),
@@ -341,10 +347,12 @@ def _breakincrease(sp, item: str) -> EnvSpec:
         break_yield=by, break_reward=br,
         # BreakIncrease re-implements the WHOLE Break path inline
         # (novelty_wrappers.py:1434-1485: cost always 3600, +10 on any
-        # breakable, no axe involvement) — stacking it OVER an axe/axetobreak
-        # novelty shadows the inner wrapper's Break handler entirely, so any
-        # axe override present in the spec is cleared (outer wrapper wins).
+        # breakable, no axe involvement, no fence gate) — stacking it OVER an
+        # axe/axetobreak or FenceRestriction novelty shadows the inner
+        # wrapper's Break handler entirely, so any axe/fence-gate override
+        # present in the spec is cleared (outer wrapper wins).
         axe_mode=S.AXE_NONE, axe_cost_mult=1.0, axe_breakincrease=False,
+        fence_restrict=S.FENCE_NONE,
         novelty_tag=sp.novelty_tag + f"|breakincrease-{item}",
     )
 

@@ -325,6 +325,48 @@ def test_stack_two_novelties_breakincrease_over_axe():
           seed=39, n_steps=300)
 
 
+def test_stack_two_novelties_fencerestriction_over_axe():
+    """FenceRestriction(AxeEasy(env)) — the gate delegates allowed breaks to
+    the inner axe path (keeping the axe's reward) but REPORTS cost 3600 and
+    result=True regardless of the inner outcome (the wrapper rebuilds info
+    after delegation, novelty_wrappers.py:950-984), masking the axe's 1800
+    discount in info/last_step_cost."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_wooden_axe"},
+          [("axe", "easy", "wooden"), ("fencerestriction", "medium", "oak")],
+          seed=41, n_steps=300)
+
+
+def test_stack_two_novelties_fencerestriction_over_axetobreak():
+    """FenceRestriction(AxetoBreakEasy(env)) — a delegated break that FAILS
+    inside (no axe selected) still reports result=True / msg='' / cost 3600
+    through the outer gate, with the inner -1 reward kept."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_wooden_axe"},
+          [("axetobreak", "easy", "wooden"),
+           ("fencerestriction", "medium", "oak")],
+          seed=43, n_steps=300)
+
+
+def test_stack_two_novelties_axe_over_fencerestriction():
+    """AxeEasy(FenceRestriction(env)) — the OUTER axe handler intercepts
+    Break before the gate runs: fence gating is dead, axe costs unmasked
+    (the fence cells themselves remain on the map)."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_wooden_axe"},
+          [("fencerestriction", "medium", "oak"), ("axe", "easy", "wooden")],
+          seed=45, n_steps=300)
+
+
+def test_stack_two_novelties_breakincrease_over_fencerestriction():
+    """BreakIncrease(FenceRestriction(env)) — the outer inline Break path
+    shadows the gate entirely: fenced-in items break freely at 2x yield."""
+    drive("NovelGridworld-Pogostick-v1", POGO_LIMIT,
+          [("fencerestriction", "hard", "oak"),
+           ("breakincrease", "easy", "tree_log")],
+          seed=47)
+
+
 @pytest.mark.parametrize("map_size", [12, 15, 20])
 def test_map_size_variation(map_size):
     """reset(map_size=N) conformance (random_action.py:62-65 re-resets with
