@@ -173,6 +173,13 @@ class EnvSpec:
     reward_intermediate: float        # +10
     reward_done: float                # +50
     break_wrong_reward_default: float  # reward when break succeeds on un-bonused item
+    # A BreakIncrease novelty in the stack decides yield/reward at STEP time
+    # (novelty_wrappers.py:1444-1454), so items appended by LATER novelty
+    # injections inherit its rules: +10 on any breakable always, 2x yield
+    # when its arg was '' (blanket mode).  These flags let _append_item
+    # materialize that inheritance into the tables.
+    break_blanket_reward: bool = False
+    break_blanket_yield: bool = False
 
     # --- novelty flags -------------------------------------------------------
     axe_mode: int = AXE_NONE

@@ -42,12 +42,15 @@ def _append_item(sp: EnvSpec, name: str, *, entity=False, unbreakable=False,
     def ext(arr, value):
         return np.concatenate([np.asarray(arr), np.asarray([value], np.asarray(arr).dtype)])
 
+    new_reward = (sp.reward_intermediate
+                  if sp.break_blanket_reward and not unbreakable
+                  else sp.break_wrong_reward_default)
     kw = dict(
         items=sp.items + (name,),
         unbreakable=ext(sp.unbreakable, unbreakable),
         entity_mask=ext(sp.entity_mask, entity),
-        break_reward=ext(sp.break_reward, sp.break_wrong_reward_default),
-        break_yield=ext(sp.break_yield, 1),
+        break_reward=ext(sp.break_reward, new_reward),
+        break_yield=ext(sp.break_yield, 2 if sp.break_blanket_yield else 1),
         goal_counts=ext(sp.goal_counts, 0),
         recipes_in=np.concatenate(
             [sp.recipes_in, np.zeros((sp.n_recipes, 1), np.int32)], axis=1),
@@ -199,11 +202,11 @@ def _axe(sp, difficulty, material, breakincrease, required) -> EnvSpec:
         axe_cost_mult=_AXE_COST_MULT[material],
         axe_breakincrease=breakincrease == "true",
         # The axe wrappers re-implement the WHOLE Break path inline
-        # (novelty_wrappers.py:45-110) — stacked OVER a FenceRestriction the
-        # outer axe handler intercepts Break before the gate runs, so any
-        # fence gating in the spec is cleared (outer wrapper wins; the fence
-        # cells themselves stay, reset_edits is untouched).
-        fence_restrict=S.FENCE_NONE,
+        # (novelty_wrappers.py:45-110) — stacked OVER a FenceRestriction or
+        # Crate the outer axe handler intercepts Break before the inner gate
+        # or contents-grant runs, so both are cleared (outer wrapper wins;
+        # fence/crate cells themselves stay, reset_edits is untouched).
+        fence_restrict=S.FENCE_NONE, crate_id=-1,
         novelty_tag=sp.novelty_tag
         + f"|{'axetobreak' if required else 'axe'}-{difficulty}-{material}"
         + ("-bi" if breakincrease == "true" else ""),
@@ -347,12 +350,15 @@ def _breakincrease(sp, item: str) -> EnvSpec:
         break_yield=by, break_reward=br,
         # BreakIncrease re-implements the WHOLE Break path inline
         # (novelty_wrappers.py:1434-1485: cost always 3600, +10 on any
-        # breakable, no axe involvement, no fence gate) — stacking it OVER an
-        # axe/axetobreak or FenceRestriction novelty shadows the inner
-        # wrapper's Break handler entirely, so any axe/fence-gate override
-        # present in the spec is cleared (outer wrapper wins).
+        # breakable, no axe involvement, no fence gate, no crate-contents
+        # grant) — stacking it OVER an axe/axetobreak, FenceRestriction or
+        # Crate novelty shadows the inner wrapper's Break handler entirely,
+        # so any such override present in the spec is cleared (outer wrapper
+        # wins; a crate keeps existing on the map but breaks into plain
+        # crate items).
         axe_mode=S.AXE_NONE, axe_cost_mult=1.0, axe_breakincrease=False,
-        fence_restrict=S.FENCE_NONE,
+        fence_restrict=S.FENCE_NONE, crate_id=-1,
+        break_blanket_reward=True, break_blanket_yield=(item == ""),
         novelty_tag=sp.novelty_tag + f"|breakincrease-{item}",
     )
 

@@ -367,6 +367,93 @@ def test_stack_two_novelties_breakincrease_over_fencerestriction():
           seed=47)
 
 
+def test_stack_two_novelties_crate_over_breakincrease():
+    """Crate(BreakIncrease(env, '')) — breaking the crate grants its
+    contents AND falls through to the inner blanket break (2 crate items,
+    +10); the crate item was appended AFTER BreakIncrease, so it must
+    inherit the blanket yield/reward rules (the reference decides them at
+    step time, novelty_wrappers.py:1444-1454)."""
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT | {"Select_crate"},
+          [("breakincrease", "easy", ""), ("crate", "easy")], seed=51)
+
+
+def test_stack_two_novelties_breakincrease_over_crate():
+    """BreakIncrease(Crate(env)) — the OUTER inline Break path never reaches
+    Crate's intercept: breaking a crate yields plain crate items and NO
+    contents grant."""
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT | {"Select_crate"},
+          [("crate", "easy"), ("breakincrease", "easy", "tree_log")],
+          seed=53)
+
+
+def test_stack_two_novelties_double_additem():
+    """AddItem(AddItem(env)) — the same novelty twice; the ordered
+    reset_edits machinery replays both map fills inner-first with the
+    reference's exact draw sequence."""
+    drive("NovelGridworld-Bow-v0",
+          BOW_LIMIT | {"Select_spring", "Select_brick"},
+          [("additem", "easy", "spring"), ("additem", "medium", "brick")],
+          seed=55)
+
+
+def test_stack_agentmap_novelty():
+    """A novelty over an AgentMap observation stack.  Upstream this
+    combination is BROKEN for the novelty's overridden actions: the novelty
+    wrappers call ``self.observation()`` with no argument
+    (novelty_wrappers.py:89), which only LidarInFront accepts
+    (``observation(self, obs=None)``, observation_wrappers.py:70) —
+    AgentMap's ``observation(self, obs)`` raises TypeError on the first
+    overridden action.  Conformance here: every NON-overridden action is
+    bit-exact through the stack; on the overridden action (Break) the
+    reference raises TypeError while ngx returns the correct AgentMap obs —
+    a deliberate, documented divergence (the BlockItem precedent)."""
+    load_reference()
+    from gym_novel_gridworlds.wrappers import LimitActions as RefLimit
+    from gym_novel_gridworlds.observation_wrappers import AgentMap as RefMap
+    from gym_novel_gridworlds.novelty_wrappers import inject_novelty as ref_inject
+
+    limited = POGO_LIMIT | {"Select_wooden_axe"}
+    np.random.seed(61)
+    ref = ref_inject(RefMap(RefLimit(
+        make_ref_env("NovelGridworld-Pogostick-v1"), set(limited))),
+        "axe", "easy", "wooden")
+    np.random.seed(61)
+    env = C.inject_novelty(
+        C.AgentMap(C.LimitActions(C.make("NovelGridworld-Pogostick-v1"),
+                                  set(limited))),
+        "axe", "easy", "wooden")
+
+    np.random.seed(62)
+    ref_obs = ref.reset()
+    np.random.seed(62)
+    obs = env.reset()
+    assert_obs_equal(obs, ref_obs, "reset")
+    break_id = sorted(limited).index("Break")
+    rng = np.random.RandomState(63)
+    steps = 0
+    for t in range(400):
+        a = int(rng.randint(env.action_space.n))
+        if a == break_id:
+            continue
+        ro, rr, rd, ri = ref.step(a)
+        o, r, d, i = env.step(a)
+        assert_obs_equal(o, ro, f"obs at {t} (a={a})")
+        assert r == rr and d == rd, f"t={t} a={a}"
+        steps += 1
+        if rd:
+            np.random.seed(1061 + t)
+            ref_obs = ref.reset()
+            np.random.seed(1061 + t)
+            obs = env.reset()
+            assert_obs_equal(obs, ref_obs, f"re-reset at {t}")
+    assert steps > 200
+    # the documented divergence on the overridden action
+    with pytest.raises(TypeError):
+        ref.step(break_id)
+    o, r, d, i = env.step(break_id)     # ngx: works, correct AgentMap obs
+    assert isinstance(o, dict) or hasattr(o, "shape")
+
+
 @pytest.mark.parametrize("map_size", [12, 15, 20])
 def test_map_size_variation(map_size):
     """reset(map_size=N) conformance (random_action.py:62-65 re-resets with
