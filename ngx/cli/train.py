@@ -93,8 +93,13 @@ def main(argv=None):
         spec = lidar_in_front(ngx.make_spec(args.env))
         model = ActorCritic(n_actions=spec.n_actions, hidden=cfg.hidden)
         ts = carry[0]
-        params, m = pretrain_from_npz(model, ts.params, args.pretrain,
-                                      steps=args.pretrain_steps)
+        # BC runs pinned to host CPU: it is a tiny supervised MLP pass, and
+        # the tunneled-TPU transport can stall on its device->host metric
+        # fetch (the axon D2H gotcha); the PPO jit transfers the returned
+        # params to the training device automatically.
+        with jax.default_device(jax.devices("cpu")[0]):
+            params, m = pretrain_from_npz(model, ts.params, args.pretrain,
+                                          steps=args.pretrain_steps)
         print(f"BC pretrain: loss={m['loss']:.3f} acc={m['accuracy']:.2%}")
         carry = (ts.replace(params=params),) + carry[1:]
     step = jax.jit(train_step)
