@@ -78,11 +78,16 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
 
     assert rollout_backend in ("auto", "xla", "pallas"), rollout_backend
     use_pallas = False
-    if rollout_backend != "xla" and mesh is None:
+    if rollout_backend != "xla":
         from ..ops.pallas_rollout import supports_pallas_rollout
-        if supports_pallas_rollout(spec) and B % 128 == 0:
+        n_dev = 1 if mesh is None else mesh.size
+        if supports_pallas_rollout(spec) and (B // n_dev) % 128 == 0:
+            # auto: single-device TPU only; explicit 'pallas' also covers a
+            # mesh (the kernel runs per-shard under shard_map, see
+            # rollout_pallas)
             use_pallas = (rollout_backend == "pallas"
-                          or jax.default_backend() == "tpu")
+                          or (mesh is None
+                              and jax.default_backend() == "tpu"))
 
     def init(key):
         k_env, k_net = jax.random.split(key)
@@ -134,19 +139,54 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         from ..core.step import make_step
         from ..ops.pallas_rollout import make_pallas_train_rollout
 
+        n_dev = 1 if mesh is None else mesh.size
         # block=128: the T-step obs output block plus the lidar intermediates
         # exceed v5e's 16MB VMEM at block 256 (docs/PERF.md VMEM notes)
         run_roll = make_pallas_train_rollout(
-            spec, B, T, block=128, cap=cfg.episode_cap,
+            spec, B // n_dev, T, block=128, cap=cfg.episode_cap,
             hidden=tuple(cfg.hidden))
         get_obs_v = jax.vmap(make_step(spec).get_obs)
+
+        if mesh is not None:
+            # each device runs the kernel on ITS shard of the env batch:
+            # shard_map over the env axis, params replicated, per-device
+            # seed decorrelated by axis index (the kernel already
+            # decorrelates per env-block within a shard)
+            import functools
+            try:
+                # pallas_call outputs carry no varying-mesh-axes metadata, so
+                # the new-API replication check must be off
+                from jax import shard_map as _sm
+                shard_map = functools.partial(_sm, check_vma=False)
+            except ImportError:      # older jax
+                from jax.experimental.shard_map import shard_map as _sme
+                shard_map = functools.partial(_sme, check_rep=False)
+            from ..core.state import EnvState as _ES
+
+            state_spec = jax.tree_util.tree_map(lambda _: P("env"),
+                                                _ES(*([0] * 10)))
+
+            def _sharded(seed, st, pp):
+                local = run_roll(
+                    seed + jax.lax.axis_index("env") * jnp.int32(612331),
+                    st, pp)
+                return local
+
+            def run_roll_mesh(seed, st, pp):
+                return shard_map(
+                    _sharded, mesh=mesh,
+                    in_specs=(P(), state_spec, P()),
+                    out_specs=(state_spec, P(None, "env"), P(None, "env"),
+                               P(None, "env"), P(None, "env")))(seed, st, pp)
+        else:
+            run_roll_mesh = run_roll
 
         def rollout_pallas(params, env_state, obs, key):
             # the kernel recomputes obs from state in-kernel (bit-identical
             # to the carried obs — tests/test_pallas.py); actions come from
             # the kernel's counter RNG seeded from this step's key
             seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-            env_state, obs_t, action, reward, done = run_roll(
+            env_state, obs_t, action, reward, done = run_roll_mesh(
                 seed, env_state, params)
             # logp/value in ONE batched MXU pass over the emitted obs —
             # exactly the update's recompute path, so ratio==1 at step 0

@@ -215,3 +215,23 @@ def test_train_step_pallas_backend_smoke():
     m = {k: float(v) for k, v in metrics.items()}
     assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
     assert int(np.asarray(carry[1].step_count).max()) >= 4
+
+
+def test_train_step_pallas_backend_mesh():
+    """The fused acting kernel under shard_map: one PPO train step over an
+    8-device mesh with the env axis sharded, each device running the kernel
+    on its shard (interpret mode off-chip)."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from ngx.rl.train import PPOConfig, make_train
+
+    mesh = Mesh(_np.asarray(jax.devices()[:8]), ("env",))
+    cfg = PPOConfig(num_envs=8 * 128, rollout_steps=4, num_minibatches=2,
+                    epochs=1, hidden=(16, 16))
+    with mesh:
+        init, train_step = make_train(cfg, mesh, rollout_backend="pallas")
+        carry = init(jax.random.key(0))
+        assert len(carry[1].map.sharding.device_set) == 8
+        carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
+        m = {k: float(v) for k, v in metrics.items()}
+        assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
