@@ -602,7 +602,7 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
 
 def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                               cap: int = 100, hidden=(64, 64),
-                              interpret=None):
+                              interpret=None, t_chunk: int = 64):
     """The fused acting rollout FOR THE PPO TRAINER — the 'policy' kernel
     re-plumbed for training:
 
@@ -711,6 +711,19 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     consts = [jnp.asarray(np.asarray(c)) for c in step_jaxpr.consts]
     n_consts = len(consts)
 
+    # For long rollouts the time axis is CHUNKED into a second grid
+    # dimension: the state scratch persists across the sequential
+    # (blk-major, tc-minor) grid iterations, while the trajectory out-blocks
+    # shrink to (TC, TB, ·) — T=256 otherwise fails to compile at any block
+    # (full-T output blocks exhaust the compiler).  The 2D grid costs a far
+    # slower Mosaic compile (~8min vs ~10s, same runtime throughput), so it
+    # engages ONLY when T > t_chunk; the common trainer shape (T<=64) keeps
+    # the fast 1D grid.
+    TC = min(T, t_chunk)
+    assert T % TC == 0, (T, TC)
+    nTC = T // TC
+    TWO_D = nTC > 1
+
     def kernel(seed_ref, *refs):
         state_in = refs[:4]
         pi_refs = refs[4:4 + n_pi]
@@ -720,17 +733,21 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                                                      4 + n_pi + n_consts + 8]
         map_s, ir_s, fc_s, inv_s = refs[4 + n_pi + n_consts + 8:]
         blk = pl.program_id(0)
+        tc = pl.program_id(1) if TWO_D else jnp.int32(0)
         seed = seed_ref[0] + blk * jnp.int32(7919)
 
-        map_s[:, :] = state_in[0][...]
-        ir_s[:, :] = state_in[1][...]
-        fc_s[:, :] = state_in[2][...]
-        inv_s[:, :] = state_in[3][...]
+        @pl.when(tc == 0)
+        def _load_state():
+            map_s[:, :] = state_in[0][...]
+            ir_s[:, :] = state_in[1][...]
+            fc_s[:, :] = state_in[2][...]
+            inv_s[:, :] = state_in[3][...]
 
         cs = [const_refs[k][...] for k in range(n_consts)]
         pi = tuple(pi_refs[k][...] for k in range(n_pi))
 
-        def body(t, _):
+        def body(tl, _):
+            t = tc * TC + tl                     # global step index (RNG ctr)
             args = (seed, t, map_s[:, :], ir_s[:, :], fc_s[:, :],
                     inv_s[:, :]) + pi
             (m, ir, fc, inv, obs, a, r, di) = jax.core.eval_jaxpr(
@@ -744,13 +761,14 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
             # hypotenuse, inventory counts <= a few dozen), all < 256 —
             # exactly representable in bf16's 8-bit mantissa.  Halves the
             # VMEM output block and the HBM traffic.
-            obs_out[t, :, :] = obs.astype(jnp.bfloat16)
-            act_out[t, :] = a
-            rew_out[t, :] = r
-            done_out[t, :] = di
+            obs_out[tl, :, :] = obs.astype(jnp.bfloat16)
+            act_out[tl, :] = a
+            rew_out[tl, :] = r
+            done_out[tl, :] = di
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, TC, body, 0)
+        # final-state out-block is the same for every tc — last write wins
         map_out[:, :] = map_s[:, :]
         iregs_out[:, :] = ir_s[:, :]
         fregs_out[:, :] = fc_s[:, :]
@@ -766,29 +784,47 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
         jax.ShapeDtypeStruct((T, batch), jnp.float32),
         jax.ShapeDtypeStruct((T, batch), jnp.int32),
     )
+    if TWO_D:
+        def env_ix(i, t, *_):
+            return (i, 0)
+
+        def traj3_ix(i, t, *_):
+            return (t, i, 0)
+
+        def traj2_ix(i, t, *_):
+            return (t, i)
+    else:
+        def env_ix(i, *_):
+            return (i, 0)
+
+        def traj3_ix(i, *_):
+            return (0, i, 0)
+
+        def traj2_ix(i, *_):
+            return (0, i)
+
     out_specs = (
-        pl.BlockSpec((TB, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, I), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, TB, OBS_DIM), lambda i, *_: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, TB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, HW), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 8), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, I), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TB, OBS_DIM), traj3_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TB), traj2_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TB), traj2_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, TB), traj2_ix, memory_space=pltpu.VMEM),
     )
     in_specs = [
-        pl.BlockSpec((TB, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, I), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, HW), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 8), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, I), env_ix, memory_space=pltpu.VMEM),
     ]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
                  for _ in range(n_pi + n_consts)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblk,),
+        grid=(nblk, nTC) if TWO_D else (nblk,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
