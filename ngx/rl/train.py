@@ -140,10 +140,17 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         from ..ops.pallas_rollout import make_pallas_train_rollout
 
         n_dev = 1 if mesh is None else mesh.size
-        # block=128: the T-step obs output block plus the lidar intermediates
-        # exceed v5e's 16MB VMEM at block 256 (docs/PERF.md VMEM notes)
+        B_loc = B // n_dev
+        # measured block/t_chunk frontier (docs/PERF.md): block 256 needs
+        # t_chunk<=16 to fit VMEM/compile and wins 1.4x on acting (5.66M vs
+        # 3.98M at T=64); block 128 with t_chunk 64 is the safe config for
+        # everything else (long T, odd batches)
+        if B_loc % 256 == 0 and T % 16 == 0 and T <= 128:
+            blk, tck = 256, 16
+        else:
+            blk, tck = 128, 64
         run_roll = make_pallas_train_rollout(
-            spec, B // n_dev, T, block=128, cap=cfg.episode_cap,
+            spec, B_loc, T, block=blk, t_chunk=tck, cap=cfg.episode_cap,
             hidden=tuple(cfg.hidden))
         get_obs_v = jax.vmap(make_step(spec).get_obs)
 
