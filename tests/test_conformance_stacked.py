@@ -454,6 +454,26 @@ def test_stack_agentmap_novelty():
     assert isinstance(o, dict) or hasattr(o, "shape")
 
 
+def test_stack_three_novelties():
+    """A 3-deep novelty stack: AddJump(FireWall(BreakIncrease(env))) — the
+    inner blanket break, the middle reset-time wall replacement + fire-death
+    post-check, and the outer Jump handler all active at once."""
+    drive("NovelGridworld-Bow-v0", BOW_LIMIT | {"Jump"},
+          [("breakincrease", "easy", ""), ("firewall", "easy"),
+           ("addjump", "easy")], seed=71)
+
+
+def test_stack_three_novelties_reset_edit_chain():
+    """Three reset-time map edits in one stack: additem over replaceitem
+    over fence — the ordered reset_edits replay all three inner-first with
+    the reference's exact draw sequence."""
+    drive("NovelGridworld-Pogostick-v1",
+          POGO_LIMIT | {"Select_oak_fence", "Select_brick", "Select_spring"},
+          [("fence", "easy", "oak"),
+           ("replaceitem", "easy", "wall", "brick"),
+           ("additem", "easy", "spring")], seed=73)
+
+
 @pytest.mark.parametrize("map_size", [12, 15, 20])
 def test_map_size_variation(map_size):
     """reset(map_size=N) conformance (random_action.py:62-65 re-resets with
