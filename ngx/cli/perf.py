@@ -2,6 +2,7 @@
 
     python -m ngx.cli.perf -batch 65536 -steps 256            # ablations
     python -m ngx.cli.perf --policy -batch 8192 -steps 256    # fused-vs-XLA
+    python -m ngx.cli.perf --trainer -batch 8192              # PPO train-step A/B
     python -m ngx.cli.perf --profile                          # jax.profiler trace
 
 Ablation mode times the bench kernel (ngx.vector.throughput_fn) against three
@@ -43,6 +44,10 @@ def main(argv=None):
     p.add_argument("-steps", type=int, default=256)
     p.add_argument("-repeats", type=int, default=3)
     p.add_argument("--policy", action="store_true")
+    p.add_argument("--trainer", action="store_true",
+                   help="A/B the full PPO train step (rollout+GAE+update) "
+                        "over the xla vs pallas acting backends "
+                        "(docs/PERF.md end-to-end table)")
     p.add_argument("--profile", action="store_true")
     p.add_argument("-block", type=int, default=512,
                    help="pallas block size (policy mode)")
@@ -61,7 +66,26 @@ def main(argv=None):
     key = jax.random.key(0)
     results = {}
 
-    if args.policy:
+    if args.trainer:
+        from ngx.rl.train import PPOConfig, make_train
+
+        cfg = PPOConfig(env_id=args.env, num_envs=B, rollout_steps=64)
+        for backend in ("xla", "pallas"):
+            init, train_step = make_train(cfg, rollout_backend=backend)
+            carry = init(key)
+            step = jax.jit(train_step)
+            carry, m = step(carry, jax.random.key(1))
+            float(m["mean_reward"])
+            best = float("inf")
+            for i in range(args.repeats):
+                t0 = time.perf_counter()
+                carry, m = step(carry, jax.random.key(2 + i))
+                float(m["mean_reward"])
+                best = min(best, time.perf_counter() - t0)
+            results[f"train_step_{backend}"] = B * 64 / best
+            print(f"train step [{backend:6s}]: {B*64/best/1e6:8.2f}M "
+                  f"env-steps/s ({best*1e3:.0f}ms/update)")
+    elif args.policy:
         from ngx.ops.pallas_rollout import (make_pallas_rollout,
                                             make_xla_policy_rollout)
         from ngx.rl.models import ActorCritic
