@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("-novelty_difficulty", default="easy")
     p.add_argument("-novelty_arg1", default="")
     p.add_argument("-novelty_arg2", default="")
+    p.add_argument("-best_metric", default="return",
+                   choices=("return", "solve"),
+                   help="what 'best' checkpoints track: mean episode return "
+                        "(default) or solve fraction (episodes ending with "
+                        "a positive terminal reward — train a SOLVER on "
+                        "envs where reward farming out-earns the goal)")
     p.add_argument("-rollout_backend", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="acting-loop backend: the fused Pallas kernel wins "
@@ -103,7 +109,7 @@ def main(argv=None):
         print(f"BC pretrain: loss={m['loss']:.3f} acc={m['accuracy']:.2%}")
         carry = (ts.replace(params=params),) + carry[1:]
     step = jax.jit(train_step)
-    best = -float("inf")
+    best = None
 
     def run_updates(n, carry, step, offset=0):
         nonlocal best
@@ -112,21 +118,29 @@ def main(argv=None):
             m = {k: float(v) for k, v in metrics.items()}
             count = max(m["ep_count"], 1.0)
             mean_ep = m["ep_return_sum"] / count
+            solve = m.get("ep_solved", 0.0) / count
             w.writerow({"r": round(mean_ep, 4),
                         "l": int(round(steps_per_update / count)),
                         "t": round(time.time() - t0, 4)})
             f.flush()
             done_steps = (offset + u + 1) * steps_per_update
             print(f"steps {done_steps}: mean_ep_return={mean_ep:.2f} "
-                  f"episodes={int(m['ep_count'])} entropy={m['entropy']:.3f}")
-            if args.ckpt and mean_ep > best and m["ep_count"] > 0:
-                best = mean_ep
+                  f"solve={solve:.0%} episodes={int(m['ep_count'])} "
+                  f"entropy={m['entropy']:.3f}")
+            # 'solve' ranks by solve fraction with return as the tie-break
+            score = ((solve, mean_ep) if args.best_metric == "solve"
+                     else (mean_ep,))
+            if args.ckpt and m["ep_count"] > 0 and \
+                    (best is None or score > best):
+                best = score
                 save_pytree(os.path.join(args.ckpt, "best"),
                             {"params": carry[0].params,
                              "config": vars(args) | {
                                  "hidden": list(cfg.hidden),
-                                 "mean_ep_return": mean_ep}})
-                print(f"  saved new best ({best:.2f})")
+                                 "mean_ep_return": mean_ep,
+                                 "solve_frac": solve}})
+                print(f"  saved new best ({args.best_metric}="
+                      f"{score[0]:.2f})")
         return carry
 
     if inject_update:

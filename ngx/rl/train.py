@@ -272,16 +272,21 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         # fold the rollout's rewards into per-env running returns, emitting
         # completed-episode sums at done boundaries
         def ep_body(carry, xs):
-            run, total, count = carry
+            run, total, count, solved = carry
             r, d = xs
             run = run + r
             total = total + jnp.where(d, run, 0.0).sum()
             count = count + d.sum()
+            # solved = terminated with a positive terminal reward (the goal
+            # step pays +50; cap-truncations and deaths are <= 0) — the same
+            # rule as the evaluator (ngx.rl.evaluate)
+            solved = solved + (d & (r > 0)).sum()
             run = jnp.where(d, 0.0, run)
-            return (run, total, count), None
+            return (run, total, count, solved), None
 
-        (ep_ret, ep_total, ep_count), _ = jax.lax.scan(
-            ep_body, (ep_ret, jnp.float32(0), jnp.int32(0)), (reward, done))
+        (ep_ret, ep_total, ep_count, ep_solved), _ = jax.lax.scan(
+            ep_body, (ep_ret, jnp.float32(0), jnp.int32(0), jnp.int32(0)),
+            (reward, done))
 
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((T * B,) + x.shape[2:]),
@@ -292,6 +297,7 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
             "episodes": done.sum(),
             "ep_return_sum": ep_total,
             "ep_count": ep_count,
+            "ep_solved": ep_solved,
             "pg_loss": pg.mean(),
             "v_loss": vl.mean(),
             "entropy": ent.mean(),
