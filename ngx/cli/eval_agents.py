@@ -68,6 +68,16 @@ def main(argv=None):
         # the scripted expert's solve/return ceiling under the same protocol
         res["expert"] = evaluate_expert(env_id, episodes=args.episodes,
                                         cap=args.episode_cap, seed=args.seed)
+        # optional SOLVER variant (trained with -best_metric solve on envs
+        # where reward farming out-earns the goal; see docs/EVAL.md notes)
+        sbase = os.path.join(args.agents, env_id + "_solver")
+        sckpt = next((os.path.join(sbase, k) for k in ("best", "final")
+                      if os.path.exists(os.path.join(sbase, k))), None)
+        if sckpt is not None:
+            res["solver"] = evaluate_checkpoint(
+                env_id, sckpt, episodes=args.episodes, cap=args.episode_cap,
+                seed=args.seed, include_random=False)["trained"]
+            res["solver_checkpoint"] = os.path.relpath(sckpt, args.agents)
         # the reference's shipped SB2 agent, replayed through the ngx engine
         # (reference enjoy.py:49-72; plain-npz MLP weights, ngx.rl.sb2)
         ref_zip = os.path.join(args.ref_agents, env_id + ".zip")
@@ -129,6 +139,26 @@ def main(argv=None):
                 f"| {env_id} | {cells(res['trained'])} | "
                 f"{cells(res.get('expert'))} | {cells(res.get('reference'))} "
                 f"| {cells(res['random'])} | {res['checkpoint']} |")
+        solver_rows = [(e, r) for e, r in report["envs"].items()
+                       if "solver" in r]
+        if solver_rows:
+            lines += [
+                "",
+                "## Solver variants",
+                "",
+                "On the farming-dominated envs an additional SOLVER "
+                "checkpoint (`trained_agents/<env>_solver`, trained with "
+                "`-best_metric solve`) maximizes solve rate instead of "
+                "return:",
+                "",
+                "| Env | solver return | solver solve % | ckpt |",
+                "|---|---|---|---|",
+            ]
+            for env_id, res in solver_rows:
+                s = res["solver"]
+                lines.append(
+                    f"| {env_id} | {s['mean_return']:.1f} | "
+                    f"{s['solve_rate']:.0%} | {res['solver_checkpoint']} |")
         lines += [
             "",
             "Notes: the reference ships SB2 checkpoints for v0–v4 only and "

@@ -90,10 +90,12 @@ def make_eval(spec, hidden=(64, 64), cap: int = 100, apply_logits=None,
 
 
 def evaluate_checkpoint(env_id: str, ckpt_path: str, episodes: int = 128,
-                        cap: int = 100, seed: int = 0):
-    """Evaluate a saved agent and the random baseline on ``env_id``.
+                        cap: int = 100, seed: int = 0,
+                        include_random: bool = True):
+    """Evaluate a saved agent (and, by default, the random baseline) on
+    ``env_id``.
 
-    Returns {'trained': {...}, 'random': {...}} metric dicts.
+    Returns {'trained': {...}[, 'random': {...}]} metric dicts.
     """
     import ngx
     from ..utils.checkpoint import restore_pytree
@@ -103,10 +105,10 @@ def evaluate_checkpoint(env_id: str, ckpt_path: str, episodes: int = 128,
     hidden = tuple(tree.get("config", {}).get("hidden", (64, 64)))
     run = make_eval(spec, hidden=hidden, cap=cap)
     key = jax.random.key(seed)
-    return {
-        "trained": run(tree["params"], key, episodes),
-        "random": run(None, jax.random.fold_in(key, 1), episodes),
-    }
+    out = {"trained": run(tree["params"], key, episodes)}
+    if include_random:
+        out["random"] = run(None, jax.random.fold_in(key, 1), episodes)
+    return out
 
 
 def evaluate_expert(env_id: str, episodes: int = 128, cap: int = 100,
