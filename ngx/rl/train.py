@@ -277,10 +277,12 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
             run = run + r
             total = total + jnp.where(d, run, 0.0).sum()
             count = count + d.sum()
-            # solved = terminated with a positive terminal reward (the goal
-            # step pays +50; cap-truncations and deaths are <= 0) — the same
-            # rule as the evaluator (ngx.rl.evaluate)
-            solved = solved + (d & (r > 0)).sum()
+            # solved = terminated on the GOAL step.  The goal pays exactly
+            # reward_done (+50); a cap-truncated episode's last step pays at
+            # most +20 (v4's fused place) and failure dones are negative, so
+            # thresholding at reward_done/2 separates goal terminations from
+            # cap truncations (which ride the done flag for GAE).
+            solved = solved + (d & (r > 0.5 * spec.reward_done)).sum()
             run = jnp.where(d, 0.0, run)
             return (run, total, count, solved), None
 
