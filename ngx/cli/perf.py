@@ -71,7 +71,11 @@ def main(argv=None):
 
         cfg = PPOConfig(env_id=args.env, num_envs=B, rollout_steps=64)
         for backend in ("xla", "pallas"):
-            init, train_step = make_train(cfg, rollout_backend=backend)
+            try:
+                init, train_step = make_train(cfg, rollout_backend=backend)
+            except ValueError as e:
+                print(f"train step [{backend:6s}]: skipped ({e})")
+                continue
             carry = init(key)
             step = jax.jit(train_step)
             carry, m = step(carry, jax.random.key(1))

@@ -719,8 +719,9 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     # slower Mosaic compile (~8min vs ~10s, same runtime throughput), so it
     # engages ONLY when T > t_chunk; the common trainer shape (T<=64) keeps
     # the fast 1D grid.
-    TC = min(T, t_chunk)
-    assert T % TC == 0, (T, TC)
+    # largest divisor of T that fits the chunk budget (always exists: 1) —
+    # odd rollout lengths like T=100 chunk at 50 rather than asserting
+    TC = max(d for d in range(1, min(T, t_chunk) + 1) if T % d == 0)
     nTC = T // TC
     TWO_D = nTC > 1
 

@@ -92,6 +92,43 @@ def _cells_of(env, item):
     return {tuple(x) for x in np.argwhere(m == iid)}
 
 
+def _tap_spots(env, trees):
+    """Air cells 4-adjacent to a tree — valid tree_tap placement targets
+    (is_block_in_front_next_to, pogostick_v1_env.py:391-411)."""
+    m = env.map
+    H = m.shape[0]
+    spots = set()
+    for (tr, tc) in trees:
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            rr, cc = tr + dr, tc + dc
+            if 0 <= rr < H and 0 <= cc < H and m[rr, cc] == 0:
+                spots.add((rr, cc))
+    return spots
+
+
+def _place_into_spot(env, spots, place_name):
+    """Action that works toward placing into one of ``spots``.  Facing (or
+    navigating to) a spot the agent is NOT standing on comes first — placing
+    into an adjacent spot works fine from atop another spot, which also
+    breaks the ping-pong between two mutually adjacent spots.  Only when the
+    agent's own cell is the sole spot does it step off (next tick it faces
+    the vacated cell and places)."""
+    here = tuple(env.agent_location)
+    others = spots - {here}
+    if others:
+        a = _goto_adjacent_and(env, others, place_name)
+        if a is not None:
+            return a
+    if here in spots:
+        m = env.map
+        r, c = here
+        for f in range(4):
+            dr, dc = FACING_DELTAS[f]
+            if m[r + dr, c + dc] == 0:
+                return _face_or_move(env, (dr, dc))
+    return None
+
+
 def _pogo_chain_expert(env, place_name, extract_name, craft_anywhere) -> int:
     """One expert action for the pogo-stick craft chain.
 
@@ -123,23 +160,7 @@ def _pogo_chain_expert(env, place_name, extract_name, craft_anywhere) -> int:
             if a is not None:
                 return a
         if tap_inv >= 1 and trees:
-            # place into an air cell 4-adjacent to a tree
-            m = env.map
-            H = m.shape[0]
-            spots = set()
-            for (tr, tc) in trees:
-                for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                    rr, cc = tr + dr, tc + dc
-                    if 0 <= rr < H and 0 <= cc < H and m[rr, cc] == 0:
-                        spots.add((rr, cc))
-            if tuple(env.agent_location) in spots:
-                # standing on the spot: step off; next tick faces it & places
-                r, c = env.agent_location
-                for f in range(4):
-                    dr, dc = FACING_DELTAS[f]
-                    if m[r + dr, c + dc] == 0:
-                        return _face_or_move(env, (dr, dc))
-            a = _goto_adjacent_and(env, spots, place_name)
+            a = _place_into_spot(env, _tap_spots(env, trees), place_name)
             if a is not None:
                 return a
         if tap_inv < 1 and plank >= 5 and stick >= 1:
@@ -314,21 +335,7 @@ def v4_expert(env) -> int:
         if a is not None:
             return a
     trees = _cells_of(env, "tree_log")
-    m = env.map
-    H = m.shape[0]
-    spots = set()
-    for (tr, tc) in trees:
-        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            rr, cc = tr + dr, tc + dc
-            if 0 <= rr < H and 0 <= cc < H and m[rr, cc] == 0:
-                spots.add((rr, cc))
-    if tuple(env.agent_location) in spots:
-        r, c = env.agent_location
-        for f in range(4):
-            dr, dc = FACING_DELTAS[f]
-            if m[r + dr, c + dc] == 0:
-                return _face_or_move(env, (dr, dc))
-    a = _goto_adjacent_and(env, spots, fused) if spots else None
+    a = _place_into_spot(env, _tap_spots(env, trees), fused) if trees else None
     return a if a is not None else A["Left"]
 
 

@@ -81,13 +81,27 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     if rollout_backend != "xla":
         from ..ops.pallas_rollout import supports_pallas_rollout
         n_dev = 1 if mesh is None else mesh.size
-        if supports_pallas_rollout(spec) and (B // n_dev) % 128 == 0:
+        gate_fail = None
+        if not supports_pallas_rollout(spec):
+            gate_fail = (f"spec {spec.env_id!r} has a reset the kernel does "
+                         "not cover (novelty reset edits / wall-coin / "
+                         "tap pre-placement)")
+        elif (B // n_dev) % 128 != 0:
+            gate_fail = (f"per-device batch {B // n_dev} is not a multiple "
+                         "of the 128-env block")
+        if gate_fail is None:
             # auto: single-device TPU only; explicit 'pallas' also covers a
             # mesh (the kernel runs per-shard under shard_map, see
             # rollout_pallas)
             use_pallas = (rollout_backend == "pallas"
                           or (mesh is None
                               and jax.default_backend() == "tpu"))
+        elif rollout_backend == "pallas":
+            # an EXPLICIT pallas request must not silently downgrade — a
+            # perf A/B or a pinned training run would quietly measure XLA
+            raise ValueError(
+                f"rollout_backend='pallas' unavailable: {gate_fail}; use "
+                "'auto' or 'xla'")
 
     def init(key):
         k_env, k_net = jax.random.split(key)
@@ -144,8 +158,10 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         # measured block/t_chunk frontier (docs/PERF.md): block 256 needs
         # t_chunk<=16 to fit VMEM/compile and wins 1.4x on acting (5.66M vs
         # 3.98M at T=64); block 128 with t_chunk 64 is the safe config for
-        # everything else (long T, odd batches)
-        if B_loc % 256 == 0 and T % 16 == 0 and T <= 128:
+        # everything else (long T, odd batches).  T must strictly exceed the
+        # chunk for block 256 — at T<=16 the grid collapses to the (256, 1D)
+        # shape that crashes the Mosaic compile helper (CLAUDE.md cliffs).
+        if B_loc % 256 == 0 and T % 16 == 0 and 32 <= T <= 128:
             blk, tck = 256, 16
         else:
             blk, tck = 128, 64
