@@ -528,3 +528,15 @@ def test_map_size_legacy_lidar(map_size):
             ref.reset(map_size=map_size)
             np.random.seed(map_size + 1000 + t)
             env.reset(map_size=map_size)
+
+
+def test_stack_two_novelties_extractincdec_over_additem():
+    """ExtractIncDec(AddItem(env)) on Bow-v1 (the only reference-legal
+    extractincdec target, novelty_wrappers.py:1641-1653) — decreased string
+    yield over a reset-time map fill."""
+    limited = {"Forward", "Left", "Right", "Break", "Craft_bow",
+               "Craft_stick", "Craft_plank", "Extract_string",
+               "Select_spring"}
+    drive("NovelGridworld-Bow-v1", limited,
+          [("additem", "easy", "spring"),
+           ("extractincdec", "easy", "decrease")], seed=81)
