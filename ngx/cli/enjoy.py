@@ -32,9 +32,15 @@ def load_policy(ckpt, spec):
 
     if ckpt.endswith(".zip"):
         # a reference SB2 checkpoint (reference enjoy.py:49-72)
-        from ngx.rl.sb2 import load_sb2_params, sb2_apply
+        from ngx.rl.sb2 import check_dims, load_sb2_params, sb2_apply
 
         params = load_sb2_params(ckpt)
+        # fail with a clear shape error (not an opaque matmul error) when
+        # the zip belongs to a different env — mirrors evaluate_sb2_zip
+        _, obs0 = jax.jit(__import__("ngx").make_reset(spec))(
+            jax.random.key(0))
+        if hasattr(obs0, "shape"):
+            check_dims(params, int(obs0.shape[-1]), spec.n_actions, ckpt)
 
         @jax.jit
         def act_sb2(key, obs):

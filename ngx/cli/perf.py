@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--profile", action="store_true")
     p.add_argument("-block", type=int, default=512,
                    help="pallas block size (policy mode)")
+    p.add_argument("-novelty", default="",
+                   help="trainer mode: inject this novelty into the spec "
+                        "before the A/B (e.g. 'firewall:easy' or "
+                        "'fence:medium:oak') — measures the fused kernel on "
+                        "the reference's novelty-adaptation scenario")
     p.add_argument("-platform", default="auto", choices=("cpu", "tpu", "auto"))
     args = p.parse_args(argv)
 
@@ -69,10 +74,16 @@ def main(argv=None):
     if args.trainer:
         from ngx.rl.train import PPOConfig, make_train
 
+        spec_override = None
+        if args.novelty:
+            parts = args.novelty.split(":")
+            spec_override = ngx.inject_novelty(spec, *parts)
+            print(f"trainer spec: {args.env} + {args.novelty}")
         cfg = PPOConfig(env_id=args.env, num_envs=B, rollout_steps=64)
         for backend in ("xla", "pallas"):
             try:
-                init, train_step = make_train(cfg, rollout_backend=backend)
+                init, train_step = make_train(cfg, spec_override=spec_override,
+                                              rollout_backend=backend)
             except ValueError as e:
                 print(f"train step [{backend:6s}]: skipped ({e})")
                 continue

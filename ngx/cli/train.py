@@ -49,6 +49,15 @@ def main(argv=None):
                         "(default) or solve fraction (episodes ending with "
                         "a positive terminal reward — train a SOLVER on "
                         "envs where reward farming out-earns the goal)")
+    p.add_argument("-chain", default="",
+                   help="comma-separated env-id chain (reference "
+                        "tests/train_last_agent.py:41): trains the LAST env "
+                        "with every reset restoring a batched chain-terminal "
+                        "state from the earlier stages (frozen policies from "
+                        "-chain_ckpts, random actions otherwise)")
+    p.add_argument("-chain_ckpts", default="",
+                   help="dir holding per-stage native checkpoints "
+                        "(<env_id>/best) for the frozen chain stages")
     p.add_argument("-rollout_backend", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="acting-loop backend: the fused Pallas kernel wins "
@@ -57,9 +66,14 @@ def main(argv=None):
     p.add_argument("-seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    import dataclasses
+
     import jax
     from ngx.rl.train import PPOConfig, make_train
     from ngx.utils.checkpoint import save_pytree
+
+    def dataclasses_replace_env(cfg, env_id):
+        return dataclasses.replace(cfg, env_id=env_id)
 
     cfg = PPOConfig(env_id=args.env, num_envs=args.num_envs,
                     rollout_steps=args.rollout, lr=args.lr,
@@ -79,7 +93,27 @@ def main(argv=None):
     w.writeheader()
 
     key = jax.random.key(args.seed)
-    init, train_step = make_train(cfg, rollout_backend=args.rollout_backend)
+    if args.chain:
+        from ngx.rl.curriculum import make_train_chain
+        from ngx.utils.checkpoint import restore_pytree
+        env_ids = [e.strip() for e in args.chain.split(",")]
+        assert env_ids[-1] == args.env or args.env == p.get_default("env"), \
+            "-env (if given) must equal the last -chain stage"
+        cfg = dataclasses_replace_env(cfg, env_ids[-1])
+        stage_params = []
+        for e in env_ids[:-1]:
+            path = os.path.join(args.chain_ckpts, e, "best") \
+                if args.chain_ckpts else ""
+            if path and os.path.exists(path):
+                stage_params.append(restore_pytree(path)["params"])
+                print(f"chain stage {e}: frozen policy from {path}")
+            else:
+                stage_params.append(None)
+                print(f"chain stage {e}: random actions (no checkpoint)")
+        init, train_step = make_train_chain(cfg, env_ids, stage_params)
+    else:
+        init, train_step = make_train(cfg,
+                                      rollout_backend=args.rollout_backend)
     carry = init(key)
     if args.resume:
         # full-fidelity resume: params AND optimizer state (the reference's

@@ -68,6 +68,14 @@ def inject_novelty(env: NGXEnv, novelty_name: str, difficulty: str = "hard",
     AxetoBreakMedium / AxeHard-iron call add_new_items which resets the env
     during wrapper construction (novelty_wrappers.py:129,552,249), consuming
     np.random draws."""
+    if novelty_name == "remapaction" and env.limited_actions_id is not None:
+        # with a LimitActions below, the reference remaps ONLY the limited
+        # table, in place, regardless of difficulty
+        # (novelty_wrappers.py:1209-1210) — the full-spec remap must not run
+        # (different semantics AND a different np.random draw sequence)
+        env.set_limited_actions_id(
+            env.remap_action(env.limited_actions_id, 0))
+        return env
     spec = spec_inject(env._spec, novelty_name, difficulty, novelty_arg1,
                        novelty_arg2)
     new = _rewrap(env, spec)

@@ -217,6 +217,30 @@ def make_reset(sp: S.EnvSpec):
     return reset
 
 
+def ceil_percent_pairs(max_count: int):
+    """(count, p) pairs in [0, max_count] x [1, 100) where the reference's
+    f64 ``int(np.ceil(count * (p / 100)))`` (novelty_wrappers.py:881,1025,
+    1139) EXCEEDS the exact integer ceil(count*p/100): the f64 value of
+    p/100 rounds the product just above an exact multiple (e.g. 25 * 0.28 ->
+    7.000000000000001 -> ceil 8, exact 7).  Both resets add +1 on these
+    pairs so the drawn fill count replays the reference bit-for-bit (an f32
+    reimplementation diverges in 29/9900 cases, in both directions)."""
+    pairs = []
+    for count in range(max_count + 1):
+        for p in range(1, 100):
+            if int(np.ceil(count * (p / 100))) != (count * p + 99) // 100:
+                pairs.append((count, p))
+    return pairs
+
+
+def _ceil_percent(count, p, max_count: int):
+    """ceil-percent with the reference's f64 rounding, as exact int32 ops."""
+    n = (count * p + 99) // 100
+    for c_, p_ in ceil_percent_pairs(max_count):
+        n = n + jnp.where((count == c_) & (p == p_), 1, 0)
+    return n
+
+
 def _percent_place(key, m, agent, eligible, item_id, lo, hi):
     """Place ``item_id`` on ceil(count(eligible) * p%) eligible cells, p ~
     U[lo, hi); agent cell skipped but still consumes a slot
@@ -224,7 +248,7 @@ def _percent_place(key, m, agent, eligible, item_id, lo, hi):
     k_p, k_shuf = jax.random.split(key)
     p = jax.random.randint(k_p, (), lo, hi)
     count = jnp.sum(eligible)
-    n = jnp.ceil(count * (p / 100.0)).astype(jnp.int32)
+    n = _ceil_percent(count, p, m.size)
     scores = jnp.where(eligible, jax.random.uniform(k_shuf, m.shape), jnp.inf)
     order = jnp.argsort(scores.reshape(-1))
     rank = jnp.zeros((m.size,), jnp.int32).at[order].set(jnp.arange(m.size))
@@ -245,7 +269,7 @@ def _percent_fill_fence(key, m, agent, fence_id, lo, hi, wall, H):
     eligible = (m != 0) & (m != wall)
     p = jax.random.randint(k_p, (), lo, hi)
     count = jnp.sum(eligible)
-    n = jnp.ceil(count * (p / 100.0)).astype(jnp.int32)
+    n = _ceil_percent(count, p, m.size)
     scores = jnp.where(eligible, jax.random.uniform(k_shuf, m.shape), jnp.inf)
     order = jnp.argsort(scores.reshape(-1))
     rank = jnp.zeros((m.size,), jnp.int32).at[order].set(jnp.arange(m.size))

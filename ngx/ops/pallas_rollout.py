@@ -38,9 +38,12 @@ rank expansion, no multi-leaf vector loop carries, no lane rotates of
 non-128-multiple vectors (hence the ADJ matmul), no uint->float converts, no
 gathers (hence one-hot map reads and the facing-permutation lidar).
 
-Gating: specs whose reset needs novelty transforms (fence/additem/replace) or
-the v3 wall-coin / Pogostick-v0 tap pre-placement fall back to the XLA path
-(`supports_pallas_rollout` returns False).
+Reset coverage (round 4): the in-kernel reset implements the full
+procedural-generation surface — plain placements, the v3 wall-coin, the
+Pogostick-v0 tap pre-placement, and the novelty percent-fill edits
+(fence/additem/replaceitem) via an exact integer-bisection uniform-subset
+selection — so every preset and every novelty-injected spec runs the fused
+path (`supports_pallas_rollout` is always True).
 """
 
 from __future__ import annotations
@@ -57,9 +60,15 @@ from ..core.step import make_step
 
 
 def supports_pallas_rollout(sp) -> bool:
-    """Pallas fast path covers specs with plain procedural resets."""
-    return (not sp.reset_edits and not sp.reset_wall_coin
-            and not sp.reset_place_tap)
+    """The Pallas fast path covers EVERY spec since round 4: the in-kernel
+    reset implements the plain procedural generation, the v3 wall-coin
+    (novel_gridworld_v3_env.py:148-152), the Pogostick-v0 tap pre-placement
+    (pogostick_v0_env.py:155-178) AND the novelty percent-fill reset edits
+    (fence 3x3 dilate / additem / replaceitem,
+    novelty_wrappers.py:868-889,1013-1034,1126-1148) — so training under
+    injected novelty (the reference's central scenario, tests/train.py:73-89)
+    rides the fused kernel too.  Kept as a function for API stability."""
+    return True
 
 
 # packed int32 scalar-register columns (one row per env)
@@ -195,6 +204,63 @@ def _make_reset_block(sp, TB):
                 if 0 <= _rr < H and 0 <= _cc < H:
                     ADJ[_rr * H + _cc, _i] = 1.0
 
+    # 3x3-neighborhood (incl. center) operand for the fence dilation
+    # (add_fence_around fills the 3x3 block, pogostick_v1_env.py:524-536) —
+    # built lazily only for specs with a fence edit.
+    def _adj9():
+        A9 = np.zeros((HW, HW), np.float32)
+        for _r in range(H):
+            for _c in range(H):
+                _i = _r * H + _c
+                for _dr in (-1, 0, 1):
+                    for _dc in (-1, 0, 1):
+                        _rr, _cc = _r + _dr, _c + _dc
+                        if 0 <= _rr < H and 0 <= _cc < H:
+                            A9[_rr * H + _cc, _i] = 1.0
+        return A9
+
+    # directional shift operands for the tap pre-placement: SHIFT[d][i, j]=1
+    # where j = i + delta_d (in-bounds) — tree_f @ SHIFT[d] is True at the
+    # would-be tap cell one step in direction d from a tree.
+    def _shift_mats():
+        mats = []
+        for _d in np.asarray(S.FACING_DELTAS):
+            M9 = np.zeros((HW, HW), np.float32)
+            for _r in range(H):
+                for _c in range(H):
+                    _rr, _cc = _r + int(_d[0]), _c + int(_d[1])
+                    if 0 <= _rr < H and 0 <= _cc < H:
+                        M9[_r * H + _c, _rr * H + _cc] = 1.0
+            mats.append(M9)
+        return mats
+
+    def _select_n_uniform(valid, n, seed, ctr, salt):
+        """Boolean [TB, HW] mask of EXACTLY min(n, count(valid)) cells per
+        row, drawn uniformly without replacement among that row's valid
+        cells (``n``: int32 [TB, 1]).
+
+        Selecting the n smallest of iid uniform scores over the valid set is
+        a uniform n-subset.  Mosaic has no argsort, so the rank cut is found
+        by exact INTEGER bisection on the score threshold: scores are 16
+        uniform bits concatenated with the 7-bit lane index (distinct within
+        a row by construction), and 24 halvings of the [0, 2^24) interval
+        pin the unique threshold with count(valid & s < t) == n."""
+        bits = _bits(seed, ctr, salt, (TB, HW))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, HW), 1)
+        s = _i32((bits >> np.uint32(16)) << np.uint32(8)) | lane
+        count = jnp.sum(jnp.where(valid, 1, 0), axis=1, keepdims=True)
+        n = jnp.minimum(n, count)
+        lo = jnp.zeros((TB, 1), jnp.int32)
+        hi = jnp.full((TB, 1), 1 << 24, jnp.int32)
+        for _ in range(24):   # static unroll — no vector loop carries
+            mid = (lo + hi) // 2
+            c = jnp.sum(jnp.where(valid & (s < mid), 1, 0), axis=1,
+                        keepdims=True)
+            go_up = c < n
+            lo = jnp.where(go_up, mid, lo)
+            hi = jnp.where(go_up, hi, mid)
+        return valid & (s < hi) & (n > 0)
+
     def _pick_uniform_valid(valid, seed, ctr, salt):
         """One-hot [TB, HW] of a uniform pick among each row's valid cells
         (empty row -> all-false).  max-of-iid-uniforms == uniform pick; the
@@ -206,6 +272,10 @@ def _make_reset_block(sp, TB):
         pick = jnp.min(jnp.where(cand, jnp.asarray(IOTA_HW)[None, :], HW),
                        axis=1)
         return (jnp.asarray(IOTA_HW)[None, :] == pick[:, None])
+
+    tree = sp.items.index("tree_log") if "tree_log" in sp.items else -1
+    tap = sp.items.index("tree_tap") if "tree_tap" in sp.items else -1
+    DELTAS = np.asarray(S.FACING_DELTAS)
 
     def _reset_block(seed, ctr) -> EnvState:
         # agent cell: uniform over the 2-margin interior (reset draw 1-2,
@@ -230,6 +300,88 @@ def _make_reset_block(sp, TB):
             valid = air & nb4 & imask & not_agent
             oh = _pick_uniform_valid(valid, seed, ctr, 16 + j)
             m = jnp.where(oh, jnp.int32(item), m)
+
+        # v3: 50% chance of a wall in front of the agent, only onto air
+        # (novel_gridworld_v3_env.py:148-152).  Per-facing delta via 4-term
+        # one-hot sum (no gathers in Mosaic); the agent sits >= 2 cells from
+        # the border, so the front cell is always in-bounds.
+        if sp.reset_wall_coin:
+            dr = sum(jnp.where(facing == f, int(DELTAS[f, 0]), 0)
+                     for f in range(4))
+            dc = sum(jnp.where(facing == f, int(DELTAS[f, 1]), 0)
+                     for f in range(4))
+            fcell = acell + dr * H + dc
+            oh_f = jnp.asarray(IOTA_HW)[None, :] == fcell[:, None]
+            front_val = jnp.sum(jnp.where(oh_f, m, 0), axis=1)
+            coin = (_bits(seed, ctr, 40, (TB, 1))[:, 0]
+                    >> np.uint32(31)).astype(jnp.int32) > 0
+            place = coin & (front_val == 0)
+            m = jnp.where(oh_f & place[:, None], jnp.int32(wall), m)
+
+        # Pogostick-v0: one tree_tap pre-placed next to a random tree
+        # (pogostick_v0_env.py:155-178) — uniform over valid (tree,
+        # direction) pairs (a cell adjacent to k trees carries weight k),
+        # exactly the XLA reset's categorical over the [4, H, W] stack.
+        if sp.reset_place_tap:
+            tree_f = jnp.where(m == tree, 1.0, 0.0)
+            air_row = m == 0
+            planes = []
+            for d, SH in enumerate(_shift_mats()):
+                tap_here = jnp.dot(tree_f, jnp.asarray(SH),
+                                   preferred_element_type=jnp.float32) > 0.5
+                planes.append(tap_here & air_row & not_agent)
+            valid4 = jnp.concatenate(planes, axis=1)       # [TB, 4*HW]
+            u = _u01(seed, ctr, 41, (TB, 4 * HW))
+            score = jnp.where(valid4, u, -1.0)
+            mx = jnp.max(score, axis=1, keepdims=True)
+            cand = (score >= mx) & valid4
+            iota4 = jax.lax.broadcasted_iota(jnp.int32, (TB, 4 * HW), 1)
+            pick = jnp.min(jnp.where(cand, iota4, 4 * HW), axis=1)
+            cell = pick % HW
+            any_valid = jnp.max(jnp.where(valid4, 1, 0), axis=1) > 0
+            oh_t = jnp.asarray(IOTA_HW)[None, :] == cell[:, None]
+            m = jnp.where(oh_t & any_valid[:, None], jnp.int32(tap), m)
+
+        # novelty percent-fill reset edits, in injection order
+        # (novelty_wrappers.py:868-889, 1013-1034, 1126-1148; same
+        # eligibility/agent-slot semantics as ngx.core.reset, incl. the
+        # reference's f64 ceil-percent rounding via the correction pairs)
+        if sp.reset_edits:
+            from ..core.reset import ceil_percent_pairs
+            CPAIRS = ceil_percent_pairs(HW)
+
+            def _n_fill(eligible, p):
+                count = jnp.sum(jnp.where(eligible, 1, 0), axis=1,
+                                keepdims=True)
+                n = (count * p + 99) // 100
+                for c_, p_ in CPAIRS:
+                    n = n + jnp.where((count == c_) & (p == p_), 1, 0)
+                return n
+
+        for j, edit in enumerate(sp.reset_edits):
+            salt = 100 + 4 * j
+            p_lo, p_hi = int(edit[-2]), int(edit[-1])
+            p = _randint(seed, ctr, salt, (TB, 1), p_hi - p_lo) + p_lo
+            if edit[0] == "fence":
+                _, fence_id, _, _ = edit
+                eligible = (m != 0) & (m != wall)
+                centers = _select_n_uniform(eligible, _n_fill(eligible, p),
+                                            seed, ctr, salt + 1)
+                cf = jnp.where(centers, 1.0, 0.0)
+                dil = jnp.dot(cf, jnp.asarray(_adj9()),
+                              preferred_element_type=jnp.float32) > 0.5
+                sel = dil & (m == 0) & not_agent
+                m = jnp.where(sel, jnp.int32(fence_id), m)
+            else:
+                if edit[0] == "additem":
+                    _, to_id, _, _ = edit
+                    eligible = m == 0
+                else:                      # replace
+                    _, from_id, to_id, _, _ = edit
+                    eligible = m == from_id
+                sel = _select_n_uniform(eligible, _n_fill(eligible, p),
+                                        seed, ctr, salt + 1)
+                m = jnp.where(sel & not_agent, jnp.int32(to_id), m)
 
         if RANDOM_INV:
             span = jnp.asarray((inv_hi - inv_lo + 1)[None, :])
@@ -642,6 +794,36 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     lidar_obs = _make_lidar_obs_fn(sp, tab, TB)
     reset_block = _make_reset_block(sp, TB)
 
+    # bf16 trajectory-obs emission is lossless only while every obs
+    # component stays < 256 (8-bit mantissa).  Lidar distances are bounded
+    # by the map hypotenuse; inventory counts need a static episode bound.
+    # Conservative reachability terms under the cap (dominant farming
+    # loops, docs/EVAL.md): repeatable extraction (the tap persists,
+    # pogostick_v1_env.py:315-331: +amount/step); place/break cycles (net
+    # yield-1 per 2 steps); craft mass amplification (<= 4x the total
+    # obtainable resource mass — plank is the biggest multiplier); crate
+    # grants (<= crates placeable x per-item content).  Specs that can
+    # exceed 255 (e.g. extractincdec-increase string farming at cap 100)
+    # emit f32 obs instead — exact for ints < 2^24 — at 2x the HBM traffic.
+    start_hi = np.zeros((I,), np.int64)
+    if sp.start_inv_hi is not None:
+        start_hi = np.maximum(start_hi, np.asarray(sp.start_inv_hi))
+    if sp.reset_inv_set is not None:
+        start_hi = np.maximum(start_hi, np.asarray(sp.reset_inv_set))
+    _by_max = int(np.asarray(sp.break_yield).max()) if I else 1
+    _spawn_total = int(np.asarray(sp.spawn_qty).sum())
+    _terms = [
+        cap * max(int(sp.extract_amount) if sp.extract_yield_item >= 0
+                  else 0, 0),
+        (cap // 2) * max(_by_max - 1, 1),
+        4 * (_spawn_total * _by_max + int(start_hi.sum())),
+    ]
+    if sp.crate_contents is not None:
+        _terms.append(((3 * HW) // 10)
+                      * int(np.asarray(sp.crate_contents).max()))
+    _obs_bound = int(start_hi.max()) + max(_terms)
+    OBS_DTYPE = jnp.bfloat16 if _obs_bound < 256 else jnp.float32
+
     def _pack(st, rs, ds):
         iregs = jnp.stack(
             [st.agent[:, 0], st.agent[:, 1], st.facing, st.selected,
@@ -757,12 +939,10 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
             ir_s[:, :] = ir
             fc_s[:, :] = fc
             inv_s[:, :] = inv
-            # bfloat16 emission is LOSSLESS for this obs: every component is
-            # a small integer (lidar first-hit distance <= the map
-            # hypotenuse, inventory counts <= a few dozen), all < 256 —
-            # exactly representable in bf16's 8-bit mantissa.  Halves the
-            # VMEM output block and the HBM traffic.
-            obs_out[tl, :, :] = obs.astype(jnp.bfloat16)
+            # bf16 when the build-time bound proves losslessness (see
+            # OBS_DTYPE above) — halves the VMEM output block and the HBM
+            # traffic; f32 for specs whose counts could reach 256.
+            obs_out[tl, :, :] = obs.astype(OBS_DTYPE)
             act_out[tl, :] = a
             rew_out[tl, :] = r
             done_out[tl, :] = di
@@ -780,7 +960,7 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
         jax.ShapeDtypeStruct((batch, 8), jnp.int32),
         jax.ShapeDtypeStruct((batch, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch, I), jnp.int32),
-        jax.ShapeDtypeStruct((T, batch, OBS_DIM), jnp.bfloat16),
+        jax.ShapeDtypeStruct((T, batch, OBS_DIM), OBS_DTYPE),
         jax.ShapeDtypeStruct((T, batch), jnp.int32),
         jax.ShapeDtypeStruct((T, batch), jnp.float32),
         jax.ShapeDtypeStruct((T, batch), jnp.int32),
@@ -866,7 +1046,7 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
             selected=ir[:, _SEL], step_count=ir[:, _CNT],
             last_action=ir[:, _LACT], last_reward=fc[:, 0],
             last_cost=fc[:, 1], last_done=ir[:, _LDONE].astype(bool))
-        # bf16 -> f32 is exact here (small-int obs; see the kernel comment)
+        # -> f32 is exact here (bf16 only when the bound proves it)
         return out_state, obs.astype(jnp.float32), act, rew, done.astype(bool)
 
     run.obs_dim = OBS_DIM

@@ -52,6 +52,69 @@ def _flat_obs(spec):
         "apply ngx.transforms.lidar_in_front to the spec first"
 
 
+def make_ppo_core(cfg: PPOConfig, model):
+    """The pure PPO math, independent of how the rollout is produced:
+    ``gae(values, rewards, dones, last_value) -> (adv, target)`` and
+    ``update(train_state, (obs, action, logp, adv, target), key)`` (clipped
+    surrogate + value + entropy over ``epochs`` x ``num_minibatches``, the
+    SB2 PPO2 surface the reference trains with, tests/train.py:122).  Shared
+    by :func:`make_train` and the curriculum trainer
+    (:mod:`ngx.rl.curriculum`)."""
+
+    def gae(values, rewards, dones, last_value):
+        def body(carry, xs):
+            adv_next, v_next = carry
+            v, r, d = xs
+            nonterm = 1.0 - d.astype(jnp.float32)
+            delta = r + cfg.gamma * v_next * nonterm - v
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+            return (adv, v), adv
+
+        (_, _), advs = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (values, rewards, dones), reverse=True)
+        return advs, advs + values
+
+    def loss_fn(params, obs, action, old_logp, adv, target):
+        logits, value = model.apply(params, obs.astype(jnp.float32))
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
+        ratio = jnp.exp(logp - old_logp)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_n
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - target).mean()
+        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    def update(ts: TrainState, batch, key):
+        obs, action, logp, adv, target = batch
+        N = obs.shape[0]
+        mb = N // cfg.num_minibatches
+
+        def epoch(ts, key_e):
+            perm = jax.random.permutation(key_e, N)
+
+            def minibatch(ts, idx):
+                sl = jax.tree_util.tree_map(
+                    lambda x: x[idx],
+                    (obs, action, logp, adv, target))
+                grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, *sl)
+                return ts.apply_gradients(grads=grads), aux
+
+            idxs = perm[:mb * cfg.num_minibatches].reshape(
+                cfg.num_minibatches, mb)
+            ts, aux = jax.lax.scan(minibatch, ts, idxs)
+            return ts, aux
+
+        ts, aux = jax.lax.scan(epoch, ts, jax.random.split(key, cfg.epochs))
+        return ts, aux
+
+    return gae, update
+
+
 def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
                spec_override=None, rollout_backend: str = "auto"):
     """Returns (init_fn, train_step_fn).
@@ -70,7 +133,14 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     spec = spec_override or __import__("ngx").make_spec(cfg.env_id)
     if spec.obs_mode != S.OBS_LIDAR_FRONT:
         spec = lidar_in_front(spec)
-    vec = make_vec(spec)
+    # SB2-VecEnv boundary semantics (what the reference trains under,
+    # reference tests/train.py:104-122): at a done/cap boundary the policy
+    # acts on the RESET observation, and the cap-reset rides the same
+    # done-gated lax.cond as the terminal reset — no unconditional
+    # full-batch reset in the rollout jaxpr.  This also matches the Pallas
+    # backend, which recomputes obs from the carried (reset) state
+    # in-kernel, so the two backends agree at episode boundaries.
+    vec = make_vec(spec, episode_cap=cfg.episode_cap, reset_obs=True)
     model = ActorCritic(n_actions=spec.n_actions, hidden=cfg.hidden)
 
     B, T = cfg.num_envs, cfg.rollout_steps
@@ -79,14 +149,12 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     assert rollout_backend in ("auto", "xla", "pallas"), rollout_backend
     use_pallas = False
     if rollout_backend != "xla":
-        from ..ops.pallas_rollout import supports_pallas_rollout
         n_dev = 1 if mesh is None else mesh.size
         gate_fail = None
-        if not supports_pallas_rollout(spec):
-            gate_fail = (f"spec {spec.env_id!r} has a reset the kernel does "
-                         "not cover (novelty reset edits / wall-coin / "
-                         "tap pre-placement)")
-        elif (B // n_dev) % 128 != 0:
+        # the in-kernel reset covers every spec since round 4 (novelty
+        # percent-fills, wall-coin, tap pre-placement) — only the batch
+        # geometry gates the backend now
+        if (B // n_dev) % 128 != 0:
             gate_fail = (f"per-device batch {B // n_dev} is not a multiple "
                          "of the 128-env block")
         if gate_fail is None:
@@ -123,18 +191,10 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         logits, value = model.apply(params, obs.astype(jnp.float32))
         action = jax.random.categorical(k_act, logits)
         logp = jax.nn.log_softmax(logits)[jnp.arange(B), action]
+        # vec handles the episode cap (done for GAE) and returns the reset
+        # obs at boundaries (reset_obs=True above)
         env_state, next_obs, reward, done, info = vec.step(
             env_state, action, jax.random.split(k_reset, B))
-        # episode cap (time-limit truncation, reference enjoy.py:87):
-        # auto-reset envs that exceed the cap; treated as done for GAE
-        capped = env_state.step_count >= cfg.episode_cap
-        fresh, fresh_obs = vec.reset(jax.random.split(
-            jax.random.fold_in(k_reset, 1), B))
-        env_state = jax.tree_util.tree_map(
-            lambda f, n: jnp.where(
-                capped.reshape(capped.shape + (1,) * (n.ndim - 1)), f, n),
-            fresh, env_state)
-        done = done | capped
         return env_state, next_obs, action, logp, value, reward, done
 
     def rollout_xla(params, env_state, obs, key):
@@ -225,56 +285,7 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     else:
         rollout = rollout_xla
 
-    def gae(values, rewards, dones, last_value):
-        def body(carry, xs):
-            adv_next, v_next = carry
-            v, r, d = xs
-            nonterm = 1.0 - d.astype(jnp.float32)
-            delta = r + cfg.gamma * v_next * nonterm - v
-            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
-            return (adv, v), adv
-
-        (_, _), advs = jax.lax.scan(
-            body, (jnp.zeros_like(last_value), last_value),
-            (values, rewards, dones), reverse=True)
-        return advs, advs + values
-
-    def loss_fn(params, obs, action, old_logp, adv, target):
-        logits, value = model.apply(params, obs.astype(jnp.float32))
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
-        ratio = jnp.exp(logp - old_logp)
-        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg1 = ratio * adv_n
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
-        pg_loss = -jnp.minimum(pg1, pg2).mean()
-        v_loss = 0.5 * jnp.square(value - target).mean()
-        entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=1).mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-        return total, (pg_loss, v_loss, entropy)
-
-    def update(ts: TrainState, batch, key):
-        obs, action, logp, adv, target = batch
-        N = obs.shape[0]
-        mb = N // cfg.num_minibatches
-
-        def epoch(ts, key_e):
-            perm = jax.random.permutation(key_e, N)
-
-            def minibatch(ts, idx):
-                sl = jax.tree_util.tree_map(
-                    lambda x: x[idx],
-                    (obs, action, logp, adv, target))
-                grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, *sl)
-                return ts.apply_gradients(grads=grads), aux
-
-            idxs = perm[:mb * cfg.num_minibatches].reshape(
-                cfg.num_minibatches, mb)
-            ts, aux = jax.lax.scan(minibatch, ts, idxs)
-            return ts, aux
-
-        ts, aux = jax.lax.scan(epoch, ts, jax.random.split(key, cfg.epochs))
-        return ts, aux
+    gae, update = make_ppo_core(cfg, model)
 
     def train_step(carry, key):
         ts, env_state, obs, ep_ret = carry
@@ -345,7 +356,10 @@ def train(cfg: PPOConfig, num_updates: int, key=None, mesh: Optional[Mesh] = Non
 
 def dryrun(n_devices: int) -> None:
     """Driver hook: build an n_devices mesh, jit the FULL train step with the
-    env axis sharded over it, and run ONE step on tiny shapes."""
+    env axis sharded over it, and run ONE step on tiny shapes — BOTH
+    rollout backends: the sharded XLA scan, and the fused Pallas acting
+    kernel per-shard under shard_map (interpret mode off-chip), so the
+    driver artifact covers the whole multi-chip surface."""
     devices = jax.devices()[:n_devices]
     mesh = Mesh(np.asarray(devices), ("env",))
     cfg = PPOConfig(num_envs=4 * n_devices, rollout_steps=4,
@@ -357,3 +371,15 @@ def dryrun(n_devices: int) -> None:
             "env state not sharded over the mesh"
         carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
         jax.block_until_ready(metrics["mean_reward"])
+
+        # the Pallas acting backend under the same mesh (128-env blocks per
+        # device; the kernel interprets on CPU backends automatically)
+        cfg_p = PPOConfig(num_envs=128 * n_devices, rollout_steps=4,
+                          num_minibatches=2, epochs=1, hidden=(16, 16))
+        init_p, train_step_p = make_train(cfg_p, mesh,
+                                          rollout_backend="pallas")
+        carry_p = init_p(jax.random.key(2))
+        assert len(carry_p[1].map.sharding.device_set) == n_devices
+        carry_p, metrics_p = jax.jit(train_step_p)(carry_p,
+                                                   jax.random.key(3))
+        jax.block_until_ready(metrics_p["mean_reward"])

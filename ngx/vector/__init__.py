@@ -37,14 +37,28 @@ class Trajectory(NamedTuple):
     step_costs: jnp.ndarray
 
 
-def make_vec(spec) -> VecEnv:
+def make_vec(spec, *, episode_cap: Optional[int] = None,
+             reset_obs: bool = False) -> VecEnv:
     """Build the batched env for ``spec``.
 
     ``step`` auto-resets finished envs: when an env reports done, its next
     state is a fresh ``reset`` draw (one key per env per step, cheap — the
-    fresh state is only selected where done).  The returned ``obs`` is the
-    terminal observation (gym-classic semantics) and ``done`` flags the
-    boundary; the *state* carried forward is the reset one.
+    fresh state is only selected where done).  By default the returned
+    ``obs`` is the terminal observation (gym-classic semantics, what the
+    compat facade surfaces) and ``done`` flags the boundary; the *state*
+    carried forward is the reset one.
+
+    ``reset_obs=True`` switches to SB2-VecEnv semantics (what the reference
+    trains under — reference ``tests/train.py:104-122``): at a boundary the
+    returned obs is the *reset* observation, so a policy acting on it chooses
+    the new episode's first action from the new episode's first state.  The
+    invariant then is simply ``obs == vmap(get_obs)(carried_state)`` on every
+    step.
+
+    ``episode_cap`` adds the trainer's time-limit truncation (reference eval
+    cap, ``enjoy.py:87,107``): envs whose post-step ``step_count`` reaches
+    the cap read as done (for GAE) and auto-reset — inside the same
+    done-gated ``lax.cond``, so uncapped common-path steps pay nothing.
     """
     single_reset = make_reset(spec)
     single_step = make_step(spec)
@@ -57,19 +71,26 @@ def make_vec(spec) -> VecEnv:
 
     def step(state: EnvState, actions, keys):
         new_state, obs, reward, done, info = v_step(state, actions)
+        if episode_cap is not None:
+            done = done | (new_state.step_count >= episode_cap)
 
-        def with_resets(ns):
-            fresh_state, _ = v_reset(keys)
-            return jax.tree_util.tree_map(
-                lambda f, n: jnp.where(
-                    done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n),
-                fresh_state, ns)
+        def _sel(f, n):
+            return jnp.where(
+                done.reshape(done.shape + (1,) * (n.ndim - 1)), f, n)
+
+        def with_resets(ns_obs):
+            ns, o = ns_obs
+            fresh_state, fresh_obs = v_reset(keys)
+            merged = jax.tree_util.tree_map(_sel, fresh_state, ns)
+            if reset_obs:
+                o = jax.tree_util.tree_map(_sel, fresh_obs, o)
+            return merged, o
 
         # Fresh resets are ~5x the cost of a step; only pay for them on steps
         # where at least one env actually finished (lax.cond keeps the branch
         # out of the common path — episodes are 100+ steps long).
-        carried = jax.lax.cond(jnp.any(done), with_resets, lambda ns: ns,
-                               new_state)
+        carried, obs = jax.lax.cond(jnp.any(done), with_resets,
+                                    lambda ns_obs: ns_obs, (new_state, obs))
         return carried, obs, reward, done, info
 
     def rollout(state: EnvState, key, policy, T: int):

@@ -530,6 +530,109 @@ def test_map_size_legacy_lidar(map_size):
             env.reset(map_size=map_size)
 
 
+def _drive_extractincdec_direct(env_id, incdec, seed, n_steps=300):
+    """ExtractIncDec by DIRECT class construction — the reference reaches
+    Bow-v1+increase and both Pogostick modes only this way, bypassing
+    inject_novelty's combination asserts (novelty_wrappers.py:1491-1581 vs
+    :1641-1653)."""
+    from ngx import novelty as _N
+    from ngx.compat.wrappers import _rewrap
+
+    limited = ({"Forward", "Left", "Right", "Break", "Craft_bow",
+                "Craft_stick", "Craft_plank", "Extract_string"}
+               if "Bow" in env_id else
+               {"Forward", "Left", "Right", "Break", "Craft_plank",
+                "Craft_tree_tap", "Place_tree_tap", "Extract_rubber",
+                "Select_tree_tap"})
+    load_reference()
+    from gym_novel_gridworlds.wrappers import LimitActions as RefLimit
+    from gym_novel_gridworlds.observation_wrappers import LidarInFront as RefLidar
+    from gym_novel_gridworlds.novelty_wrappers import ExtractIncDec as RefX
+
+    np.random.seed(seed)
+    ref = RefX(RefLidar(RefLimit(make_ref_env(env_id), set(limited)), 8),
+               incdec)
+    np.random.seed(seed)
+    base = C.LidarInFront(C.LimitActions(C.make(env_id), set(limited)), 8)
+    env = _rewrap(base, _N._extractincdec(base._spec, incdec))
+    env._state = None
+
+    np.random.seed(seed + 1)
+    ref_obs = ref.reset()
+    np.random.seed(seed + 1)
+    obs = env.reset()
+    assert_obs_equal(obs, ref_obs, "reset")
+
+    rng = np.random.RandomState(seed + 2)
+    # bias toward walk + extract so the Extract success path is actually
+    # reached (the action stream is an external input — identical for both
+    # implementations, so the bias cannot mask a divergence)
+    bias_ids = [sorted(limited).index(a)
+                for a in ("Forward", "Left", "Right", "Extract_string",
+                          "Extract_rubber") if a in limited]
+    extracted = 0
+    for t in range(n_steps):
+        if rng.rand() < 0.6:
+            a = int(bias_ids[rng.randint(len(bias_ids))])
+        else:
+            a = int(rng.randint(env.action_space.n))
+        ro, rr, rd, ri = ref.step(a)
+        o, r, d, i = env.step(a)
+        assert_obs_equal(o, ro, f"obs at {t} (a={a})")
+        assert r == rr, f"reward {r} != {rr} at {t} (a={a})"
+        assert d == rd, f"done at {t}"
+        if ri:
+            assert i["result"] == ri["result"], f"result at {t}"
+            assert abs(i["step_cost"] - ri["step_cost"]) < 1e-3, \
+                f"step_cost at {t}"
+            assert i["message"] == ri["message"], f"message at {t}"
+        if ri and ri.get("step_cost") in (5000, 50000):
+            extracted += 1
+        if rd:
+            np.random.seed(seed + 1000 + t)
+            ref_obs = ref.reset()
+            np.random.seed(seed + 1000 + t)
+            obs = env.reset()
+            assert_obs_equal(obs, ref_obs, f"re-reset at {t}")
+    return extracted
+
+
+def test_extractincdec_direct_bow_v1_increase():
+    """Bow-v1 + increase: wool -> 8 string (4*2, novelty_wrappers.py:1527)."""
+    _drive_extractincdec_direct("NovelGridworld-Bow-v1", "increase", seed=91)
+
+
+def test_extractincdec_direct_pogostick_v1_increase():
+    """Pogostick-v1 + increase: rubber 2 per extraction (:1542)."""
+    _drive_extractincdec_direct("NovelGridworld-Pogostick-v1", "increase",
+                                seed=93)
+
+
+def test_extractincdec_direct_pogostick_v1_decrease():
+    """Pogostick-v1 + decrease: the += is skipped — rubber 0, reward/cost
+    unchanged (:1542-1543)."""
+    _drive_extractincdec_direct("NovelGridworld-Pogostick-v1", "decrease",
+                                seed=95)
+
+
+def test_extractincdec_direct_pogostick_v0_increase():
+    """Pogostick-v0 (tap pre-placed at reset) + increase."""
+    _drive_extractincdec_direct("NovelGridworld-Pogostick-v0", "increase",
+                                seed=97)
+
+
+def test_extractincdec_direct_pogostick_v0_decrease():
+    """Pogostick-v0 + decrease — with the pre-placed tap the Extract path is
+    actually reachable; assert the drive hit it at least once."""
+    total = 0
+    for seed in (99, 199, 299):
+        total += _drive_extractincdec_direct(
+            "NovelGridworld-Pogostick-v0", "decrease", seed=seed)
+        if total:
+            break
+    assert total > 0, "no Extract_rubber success reached in 900 steps"
+
+
 def test_stack_two_novelties_extractincdec_over_additem():
     """ExtractIncDec(AddItem(env)) on Bow-v1 (the only reference-legal
     extractincdec target, novelty_wrappers.py:1641-1653) — decreased string

@@ -79,3 +79,17 @@ def test_two_process_spmd_rollout_matches_single_process():
     assert float(mean_r) == outs[0]["mean_reward"], (
         float(mean_r), outs[0]["mean_reward"])
     assert int(episodes) == outs[0]["episodes"]
+
+
+def test_scaling_harness_small():
+    """The scaling harness runs end-to-end on a tiny config and produces
+    sane numbers.  The CI bound is deliberately loose (virtual CPU devices
+    share one host's cores and CI machines vary); the recorded measurement
+    lives in docs/PERF.md."""
+    from ngx.rl.scaling import measure_scaling
+
+    r = measure_scaling(device_counts=(1, 2), per_device_batch=32,
+                        rollout_steps=4, repeats=2, mode="fixed-total",
+                        hidden=(16, 16))
+    assert r["throughput"][1] > 0 and r["throughput"][2] > 0
+    assert r["efficiency"][2] > 0.3, r

@@ -21,14 +21,16 @@ POGO = "NovelGridworld-Pogostick-v1"
 
 
 def test_supports_gate():
+    """Round 4: the kernel reset covers EVERY spec — plain, irregular
+    (wall-coin / tap pre-placement) and novelty-injected."""
     assert supports_pallas_rollout(ngx.make_spec(POGO))
     assert supports_pallas_rollout(ngx.make_spec("NovelGridworld-Bow-v0"))
-    assert not supports_pallas_rollout(
+    assert supports_pallas_rollout(
         ngx.make_spec("NovelGridworld-Pogostick-v0"))  # tap pre-placement
-    assert not supports_pallas_rollout(
+    assert supports_pallas_rollout(
         ngx.make_spec("NovelGridworld-v3"))            # wall coin-flip
     fenced = ngx.inject_novelty(ngx.make_spec(POGO), "fence", "easy", "oak")
-    assert not supports_pallas_rollout(fenced)
+    assert supports_pallas_rollout(fenced)
 
 
 @pytest.mark.parametrize("env_id", [POGO, "NovelGridworld-Bow-v1",
@@ -117,6 +119,134 @@ def test_pallas_reset_distribution():
     # facing roughly uniform
     faces = np.bincount(np.asarray(st.facing), minlength=4) / B
     np.testing.assert_allclose(faces, 0.25, atol=0.05)
+
+
+def test_pallas_reset_wall_coin_v3():
+    """v3's 50% wall-in-front coin (novel_gridworld_v3_env.py:148-152) in
+    the kernel reset: frequency matches the XLA reset's, wall only on air,
+    and the random start inventory stays in its U[lo, hi] ranges."""
+    spec = ngx.make_spec("NovelGridworld-v3")
+    B = 2048
+    run0 = make_pallas_rollout(spec, B, 0, block=128, interpret=True)
+    st, _, _ = jax.jit(run0)(5)
+    maps = np.asarray(st.map2d)
+    agents = np.asarray(st.agent)
+    faces = np.asarray(st.facing)
+    deltas = np.array([[-1, 0], [1, 0], [0, -1], [0, 1]])
+    wall = spec.items.index("wall")
+    fr = agents + deltas[faces]
+    front = maps[np.arange(B), fr[:, 0], fr[:, 1]]
+    frac_wall = (front == wall).mean()
+    # interior front cells are predominantly air, so P(front wall) ~ 0.5
+    assert 0.35 < frac_wall < 0.6, frac_wall
+
+    # XLA reset comparator on the same spec
+    vreset = jax.vmap(ngx.make_reset(spec))
+    st_x, _ = jax.jit(vreset)(jax.random.split(jax.random.key(0), B))
+    fx = np.asarray(st_x.agent) + deltas[np.asarray(st_x.facing)]
+    front_x = np.asarray(st_x.map2d)[np.arange(B), fx[:, 0], fx[:, 1]]
+    assert abs(frac_wall - (front_x == wall).mean()) < 0.06
+
+    # random inventory ranges (plank U[2,10], stick U[1,8], rubber 1)
+    inv = np.asarray(st.inventory)
+    lo = np.asarray(spec.start_inv_lo)
+    hi = np.asarray(spec.start_inv_hi)
+    assert (inv >= lo).all() and (inv <= hi).all()
+    plank = spec.items.index("plank")
+    assert inv[:, plank].min() == 2 and inv[:, plank].max() == 10
+
+
+def test_pallas_reset_tap_preplacement_pogostick_v0():
+    """Pogostick-v0's tap pre-placement (pogostick_v0_env.py:155-178):
+    exactly one tap per reset, 4-adjacent to a tree, placed on air."""
+    spec = ngx.make_spec("NovelGridworld-Pogostick-v0")
+    B = 1024
+    run0 = make_pallas_rollout(spec, B, 0, block=128, interpret=True)
+    st, _, _ = jax.jit(run0)(9)
+    maps = np.asarray(st.map2d)
+    tap = spec.items.index("tree_tap")
+    tree = spec.items.index("tree_log")
+    n_tap = (maps == tap).sum(axis=(1, 2))
+    assert (n_tap == 1).all()
+    for m in maps[:200]:
+        r, c = [int(v[0]) for v in np.nonzero(m == tap)]
+        assert any(m[r + dr, c + dc] == tree
+                   for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)))
+
+
+def test_pallas_reset_novelty_edits():
+    """Novelty percent-fill reset edits in-kernel: the replaceitem-hard
+    fill is DETERMINISTIC (p=99 over 36 walls -> ceil = 36, every wall
+    replaced — an exact-count check of the integer-bisection selection),
+    and the fence/additem marginals match the XLA reset's."""
+    base = ngx.make_spec(POGO)
+    B = 512
+
+    # firewall hard == ReplaceItem(wall -> fire_wall, p=99): all 36 walls
+    fw = ngx.inject_novelty(base, "firewall", "hard")
+    run0 = make_pallas_rollout(fw, B, 0, block=128, interpret=True)
+    st, _, _ = jax.jit(run0)(3)
+    maps = np.asarray(st.map2d)
+    wall = fw.items.index("wall")
+    fire = fw.items.index("fire_wall")
+    assert ((maps == fire).sum(axis=(1, 2)) == 36).all()
+    assert ((maps == wall).sum(axis=(1, 2)) == 0).all()
+
+    # fence medium over POGO: fence cells only on former air, and the mean
+    # fence count tracks the XLA reset within MC tolerance
+    fe = ngx.inject_novelty(base, "fence", "medium", "oak")
+    runf = make_pallas_rollout(fe, B, 0, block=128, interpret=True)
+    stf, _, _ = jax.jit(runf)(4)
+    fid = fe.items.index("oak_fence")
+    mf = np.asarray(stf.map2d)
+    n_pallas = (mf == fid).sum(axis=(1, 2))
+    assert (n_pallas > 0).all()          # p >= 50% of 6 items -> >= 3 centers
+    vreset = jax.vmap(ngx.make_reset(fe))
+    stx, _ = jax.jit(vreset)(jax.random.split(jax.random.key(1), B))
+    n_xla = (np.asarray(stx.map2d) == fid).sum(axis=(1, 2))
+    assert abs(n_pallas.mean() - n_xla.mean()) < 1.5, \
+        (n_pallas.mean(), n_xla.mean())
+
+    # additem: count bounded by ceil(air * (hi-1)/100), item on former air
+    ai = ngx.inject_novelty(base, "additem", "medium", "crate")
+    runa = make_pallas_rollout(ai, B, 0, block=128, interpret=True)
+    sta, _, _ = jax.jit(runa)(6)
+    cid = ai.items.index("crate")
+    ma = np.asarray(sta.map2d)
+    n_add = (ma == cid).sum(axis=(1, 2))
+    # air before the edit: 100 - 36 wall - 6 placements = 58 cells
+    assert (n_add >= int(np.ceil(58 * 10 / 100)) - 1).all()   # agent slot
+    assert (n_add <= int(np.ceil(58 * 19 / 100))).all()
+    sta_x, _ = jax.jit(jax.vmap(ngx.make_reset(ai)))(
+        jax.random.split(jax.random.key(2), B))
+    n_add_x = (np.asarray(sta_x.map2d) == cid).sum(axis=(1, 2))
+    assert abs(n_add.mean() - n_add_x.mean()) < 0.6, \
+        (n_add.mean(), n_add_x.mean())
+
+
+def test_pallas_train_rollout_novelty_spec():
+    """The trainer kernel on a novelty-injected spec (the reference's
+    central scenario, tests/train.py:73-89): builds, runs, and the emitted
+    first-step obs is bit-identical to the XLA vec reset obs."""
+    from ngx.ops.pallas_rollout import make_pallas_train_rollout
+    from ngx.rl.models import ActorCritic
+    from ngx.transforms import lidar_in_front
+    from ngx.vector import make_vec
+
+    spec = lidar_in_front(
+        ngx.inject_novelty(ngx.make_spec(POGO), "fence", "easy", "oak"))
+    B, T = 128, 4
+    vec = make_vec(spec)
+    state, obs0 = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    model = ActorCritic(n_actions=spec.n_actions)
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, obs0.shape[-1]), jnp.float32))
+    run = make_pallas_train_rollout(spec, B, T, block=128, interpret=True)
+    st2, obs, act, rew, done = jax.jit(
+        lambda s, st, p: run(s, st, p))(7, state, params)
+    np.testing.assert_array_equal(np.asarray(obs[0]),
+                                  np.asarray(obs0, np.float32))
+    assert np.isfinite(np.asarray(rew)).all()
 
 
 def test_pallas_prng_mode_runs():

@@ -72,6 +72,57 @@ def test_auto_reset():
     assert saw_done, "no episode finished in 100 random steps of 64 v0 envs"
 
 
+def test_reset_obs_and_episode_cap():
+    """SB2-VecEnv boundary semantics (reset_obs=True): the returned obs is
+    the obs of the CARRIED state on every step — at a done/cap boundary
+    that's the reset observation the policy must act on (reference trains
+    under SB2 VecEnv, tests/train.py:104-122).  episode_cap counts as done."""
+    spec = ngx.make_spec(POGO)
+    from ngx.transforms import lidar_in_front
+    spec = lidar_in_front(spec)
+    cap = 3
+    vec = make_vec(spec, episode_cap=cap, reset_obs=True)
+    get_obs_v = jax.vmap(ngx.make_step(spec).get_obs)
+
+    B = 32
+    state, obs = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    step = jax.jit(vec.step)
+    key = jax.random.key(1)
+    saw_cap = False
+    for t in range(2 * cap):
+        key, k_act, k_reset = jax.random.split(key, 3)
+        actions = jax.random.randint(k_act, (B,), 0, spec.n_actions)
+        state, obs, r, done, _ = step(
+            state, actions, jax.random.split(k_reset, B))
+        # the single invariant: obs == get_obs(carried state), incl. at
+        # boundaries (where the carried state is the fresh reset draw)
+        np.testing.assert_array_equal(np.asarray(obs),
+                                      np.asarray(get_obs_v(state)))
+        if t == cap - 1:
+            # every env that survived to the cap reads done and was reset
+            saw_cap = bool(done.all())
+            assert (np.asarray(state.step_count) == 0).all()
+    assert saw_cap, "cap-truncation must flag done for the whole batch"
+
+
+def test_cap_reset_is_cond_gated():
+    """Regression (round-3 weak #2): the episode-cap reset must ride the
+    done-gated lax.cond, not run unconditionally every step.  Reset map
+    placement is the only scatter in the engine, so scatters must appear
+    only inside the cond branches, never in the top-level step jaxpr."""
+    spec = ngx.make_spec(POGO)
+    vec = make_vec(spec, episode_cap=100, reset_obs=True)
+    B = 8
+    state, _ = jax.jit(vec.reset)(jax.random.split(jax.random.key(0), B))
+    actions = jnp.zeros((B,), jnp.int32)
+    keys = jax.random.split(jax.random.key(1), B)
+    jaxpr = jax.make_jaxpr(vec.step)(state, actions, keys)
+    top = [e.primitive.name for e in jaxpr.jaxpr.eqns]
+    assert "cond" in top, "auto-reset lost its lax.cond gate"
+    assert not any(p.startswith("scatter") for p in top), \
+        f"reset computation leaked out of the cond: {top}"
+
+
 def test_scan_rollout_shapes_and_finiteness():
     spec = ngx.make_spec(POGO)
     vec = make_vec(spec)
