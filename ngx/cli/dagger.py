@@ -90,6 +90,12 @@ def main(argv=None):
                    help="optional seed dataset .npz (ngx.cli.record_demos "
                         "layout); round 0 otherwise rolls the expert")
     p.add_argument("-ckpt", default="")
+    p.add_argument("-sharpen", default="1,2,4,8",
+                   help="logit temperature sweep: each round also evaluates "
+                        "the policy with pi_out scaled by these factors "
+                        "(monotone, argmax-preserving — converts BC accuracy "
+                        "into solve rate under the stochastic eval protocol) "
+                        "and keeps the best-scoring variant")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-platform", default="cpu", choices=("cpu", "tpu", "auto"),
                    help="host-loopy rollouts + tiny MLP fits: CPU default")
@@ -123,26 +129,43 @@ def main(argv=None):
     model = ActorCritic(n_actions=spec.n_actions, hidden=hidden)
     params = model.init(jax.random.key(args.seed),
                         jnp.zeros((1, obs.shape[1]), jnp.float32))
+    def sharpened(params, tau):
+        if tau == 1:
+            return params
+        import flax
+        flat = flax.traverse_util.flatten_dict(params)
+        flat = {k: (v * tau if "pi_out" in k else v)
+                for k, v in flat.items()}
+        return flax.traverse_util.unflatten_dict(flat)
+
+    taus = [float(t) for t in args.sharpen.split(",")]
     best = None
     for rnd in range(args.rounds):
         params, m = pretrain(model, params, obs, labels,
                              key=jax.random.key(args.seed + rnd),
                              steps=args.bc_steps, batch_size=args.bc_batch,
                              lr=args.lr)
-        ev = run_eval(params, jax.random.key(args.seed * 7 + rnd),
-                      args.eval_episodes)
+        round_best = None
+        for tau in taus:
+            p_t = sharpened(params, tau)
+            ev = run_eval(p_t, jax.random.key(args.seed * 7 + rnd),
+                          args.eval_episodes)
+            sc = (ev["solve_rate"], ev["mean_return"])
+            if round_best is None or sc > round_best[0]:
+                round_best = (sc, tau, p_t, ev)
+        sc, tau, p_t, ev = round_best
         print(f"round {rnd}: dataset={obs.shape[0]} "
               f"bc_acc={m['accuracy']:.2%} solve={ev['solve_rate']:.2%} "
-              f"return={ev['mean_return']:.1f}")
-        score = (ev["solve_rate"], ev["mean_return"])
-        if args.ckpt and (best is None or score > best):
-            best = score
+              f"return={ev['mean_return']:.1f} (tau={tau:g})")
+        if args.ckpt and (best is None or sc > best):
+            best = sc
             save_pytree(os.path.join(args.ckpt, "best"),
-                        {"params": params,
+                        {"params": p_t,
                          "config": {"hidden": list(hidden),
                                     "solve_frac": ev["solve_rate"],
                                     "mean_ep_return": ev["mean_return"],
-                                    "dagger_round": rnd}})
+                                    "dagger_round": rnd,
+                                    "sharpen_tau": tau}})
             print(f"  saved new best (solve={ev['solve_rate']:.2%})")
         if rnd == args.rounds - 1:
             break

@@ -43,6 +43,16 @@ def main(argv=None):
     p.add_argument("-novelty_difficulty", default="easy")
     p.add_argument("-novelty_arg1", default="")
     p.add_argument("-novelty_arg2", default="")
+    p.add_argument("-bc_anchor", default="",
+                   help="demo .npz whose (obs, action) pairs anchor every "
+                        "PPO minibatch with a cross-entropy term (keeps the "
+                        "expert's navigation; use with -reward_mode solve)")
+    p.add_argument("-bc_coef", type=float, default=0.05)
+    p.add_argument("-reward_mode", default="env", choices=("env", "solve"),
+                   help="'solve' trains on the solve-shaped reward (-1/step, "
+                        "+reward_done only on goal termination) — kills the "
+                        "farming optimum so PPO optimizes solving; combine "
+                        "with -best_metric solve")
     p.add_argument("-best_metric", default="return",
                    choices=("return", "solve"),
                    help="what 'best' checkpoints track: mean episode return "
@@ -78,7 +88,15 @@ def main(argv=None):
     cfg = PPOConfig(env_id=args.env, num_envs=args.num_envs,
                     rollout_steps=args.rollout, lr=args.lr,
                     ent_coef=args.ent_coef, epochs=args.epochs,
-                    episode_cap=args.episode_cap)
+                    episode_cap=args.episode_cap,
+                    solve_shaped=args.reward_mode == "solve",
+                    bc_coef=args.bc_coef if args.bc_anchor else 0.0)
+    bc_data = None
+    if args.bc_anchor:
+        from ngx.rl.bc import load_demos
+        bc_data = load_demos(args.bc_anchor)
+        print(f"bc anchor: {bc_data[0].shape[0]} frames from "
+              f"{args.bc_anchor} (coef {args.bc_coef})")
     steps_per_update = cfg.num_envs * cfg.rollout_steps
     num_updates = max(1, args.steps // steps_per_update)
     inject_update = (args.inject_novelty_at // steps_per_update
@@ -113,7 +131,8 @@ def main(argv=None):
         init, train_step = make_train_chain(cfg, env_ids, stage_params)
     else:
         init, train_step = make_train(cfg,
-                                      rollout_backend=args.rollout_backend)
+                                      rollout_backend=args.rollout_backend,
+                                      bc_data=bc_data)
     carry = init(key)
     if args.resume:
         # full-fidelity resume: params AND optimizer state (the reference's

@@ -313,8 +313,10 @@ def _make_reset_block(sp, TB):
             fcell = acell + dr * H + dc
             oh_f = jnp.asarray(IOTA_HW)[None, :] == fcell[:, None]
             front_val = jnp.sum(jnp.where(oh_f, m, 0), axis=1)
-            coin = (_bits(seed, ctr, 40, (TB, 1))[:, 0]
-                    >> np.uint32(31)).astype(jnp.int32) > 0
+            # top bit as the coin; _i32 bitcast (Mosaic has no uint->int
+            # convert), exact because the value is 0/1
+            coin = _i32(_bits(seed, ctr, 40, (TB, 1))
+                        >> np.uint32(31))[:, 0] > 0
             place = coin & (front_val == 0)
             m = jnp.where(oh_f & place[:, None], jnp.int32(wall), m)
 
@@ -325,20 +327,24 @@ def _make_reset_block(sp, TB):
         if sp.reset_place_tap:
             tree_f = jnp.where(m == tree, 1.0, 0.0)
             air_row = m == 0
-            planes = []
+            # per-direction f32 score planes (Mosaic cannot concat i1
+            # vectors, so validity rides as score=-1), concatenated into one
+            # [TB, 4*HW] categorical over (cell, direction) pairs — a cell
+            # adjacent to k trees carries weight k, like the XLA reset
+            scores = []
             for d, SH in enumerate(_shift_mats()):
                 tap_here = jnp.dot(tree_f, jnp.asarray(SH),
                                    preferred_element_type=jnp.float32) > 0.5
-                planes.append(tap_here & air_row & not_agent)
-            valid4 = jnp.concatenate(planes, axis=1)       # [TB, 4*HW]
-            u = _u01(seed, ctr, 41, (TB, 4 * HW))
-            score = jnp.where(valid4, u, -1.0)
+                valid_d = tap_here & air_row & not_agent
+                u = _u01(seed, ctr, 41 + d, (TB, HW))
+                scores.append(jnp.where(valid_d, u, -1.0))
+            score = jnp.concatenate(scores, axis=1)        # f32 [TB, 4*HW]
             mx = jnp.max(score, axis=1, keepdims=True)
-            cand = (score >= mx) & valid4
+            cand = (score >= mx) & (score >= 0.0)
             iota4 = jax.lax.broadcasted_iota(jnp.int32, (TB, 4 * HW), 1)
             pick = jnp.min(jnp.where(cand, iota4, 4 * HW), axis=1)
             cell = pick % HW
-            any_valid = jnp.max(jnp.where(valid4, 1, 0), axis=1) > 0
+            any_valid = mx[:, 0] >= 0.0
             oh_t = jnp.asarray(IOTA_HW)[None, :] == cell[:, None]
             m = jnp.where(oh_t & any_valid[:, None], jnp.int32(tap), m)
 

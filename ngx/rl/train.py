@@ -43,6 +43,19 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     hidden: tuple = (64, 64)
     episode_cap: int = 100      # reference eval cap (enjoy.py:87,107)
+    # solve-shaped reward: replace the env reward with -1/step and
+    # +reward_done only on a goal termination — kills the reward-farming
+    # optimum (docs/EVAL.md: repeatable craft/extract loops out-earn the
+    # goal under the cap) so PPO optimizes SOLVING; eval still reports the
+    # true env return.  Applied to the rollout rewards post-hoc, so both
+    # acting backends share it.
+    solve_shaped: bool = False
+    # BC anchor: add bc_coef * cross-entropy(policy, expert action) over a
+    # demo dataset to every PPO minibatch loss — keeps the expert's
+    # navigation behavior (the measured failure mode is right-action-wrong-
+    # place loops) while the solve-shaped reward optimizes completion.
+    # The dataset rides via make_train(..., bc_data=(obs, actions)).
+    bc_coef: float = 0.0
 
 
 def _flat_obs(spec):
@@ -52,7 +65,7 @@ def _flat_obs(spec):
         "apply ngx.transforms.lidar_in_front to the spec first"
 
 
-def make_ppo_core(cfg: PPOConfig, model):
+def make_ppo_core(cfg: PPOConfig, model, bc_data=None):
     """The pure PPO math, independent of how the rollout is produced:
     ``gae(values, rewards, dones, last_value) -> (adv, target)`` and
     ``update(train_state, (obs, action, logp, adv, target), key)`` (clipped
@@ -75,6 +88,12 @@ def make_ppo_core(cfg: PPOConfig, model):
             (values, rewards, dones), reverse=True)
         return advs, advs + values
 
+    if bc_data is not None and cfg.bc_coef > 0:
+        bc_obs = jax.device_put(jnp.asarray(bc_data[0], jnp.float32))
+        bc_act = jax.device_put(jnp.asarray(bc_data[1], jnp.int32))
+    else:
+        bc_obs = bc_act = None
+
     def loss_fn(params, obs, action, old_logp, adv, target):
         logits, value = model.apply(params, obs.astype(jnp.float32))
         logp_all = jax.nn.log_softmax(logits)
@@ -87,6 +106,12 @@ def make_ppo_core(cfg: PPOConfig, model):
         v_loss = 0.5 * jnp.square(value - target).mean()
         entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=1).mean()
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        if bc_obs is not None:
+            bc_logits, _ = model.apply(params, bc_obs)
+            bc_logp = jax.nn.log_softmax(bc_logits)
+            bc_ce = -jnp.take_along_axis(bc_logp, bc_act[:, None],
+                                         axis=1).mean()
+            total = total + cfg.bc_coef * bc_ce
         return total, (pg_loss, v_loss, entropy)
 
     def update(ts: TrainState, batch, key):
@@ -116,7 +141,8 @@ def make_ppo_core(cfg: PPOConfig, model):
 
 
 def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
-               spec_override=None, rollout_backend: str = "auto"):
+               spec_override=None, rollout_backend: str = "auto",
+               bc_data=None):
     """Returns (init_fn, train_step_fn).
 
     init_fn(key) -> (train_state, env_state, obs, ep_returns)
@@ -221,7 +247,14 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         # everything else (long T, odd batches).  T must strictly exceed the
         # chunk for block 256 — at T<=16 the grid collapses to the (256, 1D)
         # shape that crashes the Mosaic compile helper (CLAUDE.md cliffs).
-        if B_loc % 256 == 0 and T % 16 == 0 and 32 <= T <= 128:
+        # Specs with reset edits / wall-coin / tap pre-placement carry a
+        # bigger in-kernel reset (bisection subset selection), which pushes
+        # (256, 16) over the same compile cliff (measured on-chip, round 4)
+        # — those stay on the 128-block config.
+        plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
+                       and not spec.reset_place_tap)
+        if (plain_reset and B_loc % 256 == 0 and T % 16 == 0
+                and 32 <= T <= 128):
             blk, tck = 256, 16
         else:
             blk, tck = 128, 64
@@ -285,13 +318,19 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     else:
         rollout = rollout_xla
 
-    gae, update = make_ppo_core(cfg, model)
+    gae, update = make_ppo_core(cfg, model, bc_data=bc_data)
 
     def train_step(carry, key):
         ts, env_state, obs, ep_ret = carry
         k_roll, k_upd = jax.random.split(key)
         env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
             rollout(ts.params, env_state, obs, k_roll)
+        if cfg.solve_shaped:
+            # goal terminations pay exactly reward_done; everything else
+            # (steps, farming loops, cap truncations, failure dones) pays -1
+            solved_step = done & (reward > 0.5 * spec.reward_done)
+            reward = jnp.where(solved_step, jnp.float32(spec.reward_done),
+                               jnp.float32(-1.0))
         _, last_value = model.apply(ts.params, last_obs.astype(jnp.float32))
         adv, target = gae(value, reward, done, last_value)
 

@@ -108,3 +108,25 @@ def test_learning_on_v0():
     last = float(metrics["mean_reward"])
     assert last > first + 1.0, (first, last)
     assert last > 1.5, last
+
+
+def test_solve_shaped_reward_transform():
+    """solve_shaped replaces rollout rewards with -1/step and +reward_done
+    only on goal terminations — the shaped episode return of a solved
+    episode is bounded by reward_done, and farming pays nothing."""
+    import jax
+    from ngx.rl.train import PPOConfig, make_train
+
+    cfg = PPOConfig(env_id="NovelGridworld-v0", num_envs=64, rollout_steps=8,
+                    num_minibatches=2, epochs=1, hidden=(16, 16),
+                    episode_cap=20, solve_shaped=True)
+    init, step = make_train(cfg)
+    carry = init(jax.random.key(0))
+    carry, m = jax.jit(step)(carry, jax.random.key(1))
+    m = {k: float(v) for k, v in m.items()}
+    assert m["ep_count"] > 0
+    # every completed episode's shaped return is in [-cap, reward_done]
+    mean_ep = m["ep_return_sum"] / m["ep_count"]
+    assert -cfg.episode_cap <= mean_ep <= 50.0, m
+    # solve bookkeeping still works under the shaped reward
+    assert 0 <= m["ep_solved"] <= m["ep_count"]
