@@ -151,6 +151,60 @@ def make_chain_reset(env_ids: Sequence[str], stage_params: Sequence,
     return chain, specs[-1]
 
 
+def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
+                   final_params, episodes: int = 128, cap: int = 100,
+                   hidden=(64, 64), seed: int = 0):
+    """Evaluate a chain-trained LAST-stage policy under the protocol it was
+    trained for (the reference's, ``train_last_agent.py:95-117``): play the
+    earlier stages with their frozen policies, restore into the last env,
+    then roll the final policy from the restored states for the REMAINDER
+    of the step budget (restored states inherit ``step_count``).  Solved =
+    done before the cap with a positive terminal reward."""
+    import jax.numpy as jnp
+
+    chain, spec = make_chain_reset(env_ids, stage_params, episodes, cap,
+                                   hidden)
+    step1 = make_step(spec)
+    v_step = jax.vmap(step1)
+    model = ActorCritic(n_actions=spec.n_actions, hidden=tuple(hidden))
+
+    @jax.jit
+    def run(key):
+        k0, k1 = jax.random.split(key)
+        state, obs = chain(k0)
+
+        def body(carry, key_t):
+            state, obs, ret, done_ever, solved = carry
+            logits, _ = model.apply(final_params,
+                                    obs.astype(jnp.float32))
+            a = jax.random.categorical(key_t, logits)
+            ns, nobs, r, done, _ = v_step(state, a)
+            done = done | (ns.step_count >= cap)
+            active = ~done_ever
+            ret = ret + jnp.where(active, r, 0.0)
+            solved = solved | (active & done & (r > 0))
+            done_ever = done_ever | done
+            keep = done_ever
+
+            def mrg(o, n):
+                return jnp.where(
+                    keep.reshape(keep.shape + (1,) * (n.ndim - 1)), o, n)
+
+            state = jax.tree_util.tree_map(mrg, state, ns)
+            obs = jax.tree_util.tree_map(mrg, obs, nobs)
+            return (state, obs, ret, done_ever, solved), None
+
+        B = episodes
+        carry = (state, obs, jnp.zeros((B,)), jnp.zeros((B,), bool),
+                 jnp.zeros((B,), bool))
+        (_, _, ret, done_ever, solved), _ = jax.lax.scan(
+            body, carry, jax.random.split(k1, cap))
+        return {"mean_return": ret.mean(), "solve_rate": solved.mean(),
+                "done_rate": done_ever.mean()}
+
+    return {k: float(v) for k, v in run(jax.random.key(seed)).items()}
+
+
 def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
                      stage_params: Sequence, hidden=None):
     """(init, train_step) for PPO on the LAST env of ``env_ids``, where
