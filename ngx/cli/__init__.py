@@ -21,9 +21,27 @@ def set_platform(platform: str) -> None:
     initialises lazily on first device use).
     """
     if platform == "auto":
+        enable_compile_cache()
         return
     import jax
     if platform == "tpu" and "axon" in os.environ.get(
             "JAX_PLATFORMS", "").split(","):
         platform = "axon"   # this image exposes the TPU via the axon tunnel
     jax.config.update("jax_platforms", platform)
+    enable_compile_cache()
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache shared by every driver (same dir as
+    bench.py): repeat runs skip recompilation — which matters most for the
+    trainer's (block 256, t_chunk 16) Mosaic config, whose fresh compile
+    costs ~8 minutes (docs/PERF.md)."""
+    import jax
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

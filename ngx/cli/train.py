@@ -79,6 +79,8 @@ def main(argv=None):
     import dataclasses
 
     import jax
+    from . import enable_compile_cache
+    enable_compile_cache()
     from ngx.rl.train import PPOConfig, make_train
     from ngx.utils.checkpoint import save_pytree
 

@@ -25,8 +25,7 @@ batched and jitted:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ import numpy as np
 from flax.training.train_state import TrainState
 import optax
 
-from ..core import spec as S
 from ..core.state import EnvState
 from ..core.step import make_step
 from ..core.reset import make_reset

@@ -9,7 +9,6 @@ a T-step rollout is one ``lax.scan`` launch (no host round-trips at all).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

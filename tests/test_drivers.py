@@ -150,3 +150,44 @@ def test_bc_pretrain_flag(tmp_path):
                 "-num_envs", "64", "-rollout", "8",
                 "-pretrain", npz, "-pretrain_steps", "20",
                 "-log", str(tmp_path / "l3")])
+
+
+def test_train_solve_shaped_with_bc_anchor(tmp_path):
+    """Round-4 solver-recipe flags: -reward_mode solve + -bc_anchor."""
+    from ngx.cli.record_demos import main as demos_main
+    from ngx.cli.train import main as train_main
+
+    npz = str(tmp_path / "demos.npz")
+    demos_main(["-env", "NovelGridworld-v0", "-episodes", "3",
+                "-policy", "expert", "-out", npz])
+    ckpt = str(tmp_path / "ckpt")
+    train_main(["-env", "NovelGridworld-v0", "-steps", "4096",
+                "-num_envs", "64", "-rollout", "16", "-episode_cap", "30",
+                "-reward_mode", "solve", "-best_metric", "solve",
+                "-bc_anchor", npz, "-bc_coef", "0.1",
+                "-log", str(tmp_path / "log"), "-ckpt", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "final"))
+
+
+def test_train_chain_cli(tmp_path):
+    """The -chain mode trains the last stage from batched restore states."""
+    from ngx.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "chain_ckpt")
+    train_main(["-chain", "NovelGridworld-v2,NovelGridworld-v3",
+                "-env", "NovelGridworld-v3", "-steps", "2048",
+                "-num_envs", "64", "-rollout", "8", "-episode_cap", "30",
+                "-log", str(tmp_path / "log"), "-ckpt", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "final"))
+
+
+def test_dagger_cli(tmp_path):
+    """DAgger driver end-to-end on a tiny config."""
+    from ngx.cli.dagger import main as dagger_main
+
+    ckpt = str(tmp_path / "dagger")
+    dagger_main(["-env", "NovelGridworld-v0", "-rounds", "2",
+                 "-episodes_per_round", "4", "-bc_steps", "100",
+                 "-eval_episodes", "16", "-sharpen", "1,2",
+                 "-ckpt", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "best"))
