@@ -166,6 +166,9 @@ def main(argv=None):
     step = jax.jit(train_step)
     best = None
 
+    from collections import deque
+    window = deque(maxlen=10)   # trailing multi-update aggregation
+
     def run_updates(n, carry, step, offset=0):
         nonlocal best
         for u in range(n):
@@ -174,16 +177,29 @@ def main(argv=None):
             count = max(m["ep_count"], 1.0)
             mean_ep = m["ep_return_sum"] / count
             solve = m.get("ep_solved", 0.0) / count
+            # A single short rollout window under-samples long (failing)
+            # episodes — its solve fraction can read ~100% for a ~75%
+            # policy (the trainers' ep_body note).  Aggregate counts over a
+            # trailing window of updates for an unbiased estimate; 'best'
+            # checkpointing ranks on the aggregate.
+            window.append((m.get("ep_solved", 0.0), m["ep_count"],
+                           m["ep_return_sum"]))
+            w_solved = sum(x[0] for x in window)
+            w_count = max(sum(x[1] for x in window), 1.0)
+            w_return = sum(x[2] for x in window) / w_count
+            solve_agg = w_solved / w_count
             w.writerow({"r": round(mean_ep, 4),
                         "l": int(round(steps_per_update / count)),
                         "t": round(time.time() - t0, 4)})
             f.flush()
             done_steps = (offset + u + 1) * steps_per_update
             print(f"steps {done_steps}: mean_ep_return={mean_ep:.2f} "
-                  f"solve={solve:.0%} episodes={int(m['ep_count'])} "
+                  f"solve={solve:.0%} (10-update agg {solve_agg:.0%}) "
+                  f"episodes={int(m['ep_count'])} "
                   f"entropy={m['entropy']:.3f}")
-            # 'solve' ranks by solve fraction with return as the tie-break
-            score = ((solve, mean_ep) if args.best_metric == "solve"
+            # 'solve' ranks by the aggregated solve fraction, return
+            # tie-break (also aggregated)
+            score = ((solve_agg, w_return) if args.best_metric == "solve"
                      else (mean_ep,))
             if args.ckpt and m["ep_count"] > 0 and \
                     (best is None or score > best):
@@ -193,7 +209,7 @@ def main(argv=None):
                              "config": vars(args) | {
                                  "hidden": list(cfg.hidden),
                                  "mean_ep_return": mean_ep,
-                                 "solve_frac": solve}})
+                                 "solve_frac": solve_agg}})
                 print(f"  saved new best ({args.best_metric}="
                       f"{score[0]:.2f})")
         return carry

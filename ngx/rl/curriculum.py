@@ -268,24 +268,34 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
         ts, env_state, obs, ep_ret = carry
         k_chain, k_roll, k_upd = jax.random.split(key, 3)
         pool, pool_obs = chain(k_chain)       # fresh restore pool per update
+        pre_count = env_state.step_count
         env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
             rollout(ts.params, env_state, obs, pool, pool_obs, k_roll)
         _, last_value = model.apply(ts.params, last_obs.astype(jnp.float32))
         adv, target = gae(value, reward, done, last_value)
 
+        # same tallies as make_train (see ngx/rl/train.py's ep_body note
+        # on aggregating solve counts across updates)
         def ep_body(carry, xs):
-            run, total, count, solved = carry
+            run, run_len, total, count, solved, len_sum = carry
             r, d = xs
             run = run + r
+            run_len = run_len + 1
             total = total + jnp.where(d, run, 0.0).sum()
             count = count + d.sum()
-            solved = solved + (d & (r > 0.5 * spec.reward_done)).sum()
+            s = d & (r > 0.5 * spec.reward_done)
+            solved = solved + s.sum()
+            len_sum = len_sum + jnp.where(d, run_len, 0).sum()
             run = jnp.where(d, 0.0, run)
-            return (run, total, count, solved), None
+            run_len = jnp.where(d, 0, run_len)
+            return (run, run_len, total, count, solved, len_sum), None
 
-        (ep_ret, ep_total, ep_count, ep_solved), _ = jax.lax.scan(
-            ep_body, (ep_ret, jnp.float32(0), jnp.int32(0), jnp.int32(0)),
-            (reward, done))
+        (ep_ret, _, ep_total, ep_count, ep_solved, ep_len), _ = \
+            jax.lax.scan(
+                ep_body,
+                (ep_ret, pre_count, jnp.float32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0)),
+                (reward, done))
 
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((T * B,) + x.shape[2:]),
@@ -297,6 +307,7 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
             "ep_return_sum": ep_total,
             "ep_count": ep_count,
             "ep_solved": ep_solved,
+            "ep_len_sum": ep_len,
             "pg_loss": pg.mean(),
             "v_loss": vl.mean(),
             "entropy": ent.mean(),

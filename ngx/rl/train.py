@@ -323,6 +323,9 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     def train_step(carry, key):
         ts, env_state, obs, ep_ret = carry
         k_roll, k_upd = jax.random.split(key)
+        # steps already taken in each env's current episode BEFORE this
+        # rollout — seeds the episode-length tally below
+        pre_count = env_state.step_count
         env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
             rollout(ts.params, env_state, obs, k_roll)
         if cfg.solve_shaped:
@@ -338,9 +341,10 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         # fold the rollout's rewards into per-env running returns, emitting
         # completed-episode sums at done boundaries
         def ep_body(carry, xs):
-            run, total, count, solved = carry
+            run, run_len, total, count, solved, len_sum = carry
             r, d = xs
             run = run + r
+            run_len = run_len + 1
             total = total + jnp.where(d, run, 0.0).sum()
             count = count + d.sum()
             # solved = terminated on the GOAL step.  The goal pays exactly
@@ -348,13 +352,27 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
             # most +20 (v4's fused place) and failure dones are negative, so
             # thresholding at reward_done/2 separates goal terminations from
             # cap truncations (which ride the done flag for GAE).
-            solved = solved + (d & (r > 0.5 * spec.reward_done)).sum()
+            s = d & (r > 0.5 * spec.reward_done)
+            solved = solved + s.sum()
+            # Episode-length tally (diagnostic: mean completed length).
+            # NOTE on solve%: completed-episode counts are unbiased per
+            # reset ONLY in aggregate — within a single short rollout
+            # window, 100-step failures complete in few windows while
+            # ~15-step solves complete in most, so a single update's
+            # ep_solved/ep_count routinely reads ~100% for a ~75% policy
+            # (measured round 4).  Consumers must aggregate counts across
+            # updates (ngx.cli.train does) before quoting a solve rate.
+            len_sum = len_sum + jnp.where(d, run_len, 0).sum()
             run = jnp.where(d, 0.0, run)
-            return (run, total, count, solved), None
+            run_len = jnp.where(d, 0, run_len)
+            return (run, run_len, total, count, solved, len_sum), None
 
-        (ep_ret, ep_total, ep_count, ep_solved), _ = jax.lax.scan(
-            ep_body, (ep_ret, jnp.float32(0), jnp.int32(0), jnp.int32(0)),
-            (reward, done))
+        (ep_ret, _, ep_total, ep_count, ep_solved, ep_len), _ = \
+            jax.lax.scan(
+                ep_body,
+                (ep_ret, pre_count, jnp.float32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0)),
+                (reward, done))
 
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((T * B,) + x.shape[2:]),
@@ -366,6 +384,7 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
             "ep_return_sum": ep_total,
             "ep_count": ep_count,
             "ep_solved": ep_solved,
+            "ep_len_sum": ep_len,
             "pg_loss": pg.mean(),
             "v_loss": vl.mean(),
             "entropy": ent.mean(),

@@ -130,3 +130,5 @@ def test_solve_shaped_reward_transform():
     assert -cfg.episode_cap <= mean_ep <= 50.0, m
     # solve bookkeeping still works under the shaped reward
     assert 0 <= m["ep_solved"] <= m["ep_count"]
+    # episode-length tally: every completed episode has length >= 1
+    assert m["ep_len_sum"] >= m["ep_count"]
