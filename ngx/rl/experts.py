@@ -153,14 +153,45 @@ def _pogo_chain_expert(env, place_name, extract_name, craft_anywhere) -> int:
         if a is not None:
             return a
 
-    # 2. rubber: extract from a placed tap, else place the tap, else craft it
+    # 2. rubber: extract from a LIVE tap (one still 4-adjacent to a tree —
+    # extraction fails otherwise, pogostick_v1_env.py:319-328), else place
+    # the tap, else recover a stranded tap by breaking it, else craft one
+    def _adj4(cell):
+        r, c = cell
+        return {(r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)}
+
+    live_taps = {t for t in taps if _adj4(t) & trees}
     if rubber < 1:
-        if taps:
-            a = _goto_adjacent_and(env, taps, extract_name)
+        if live_taps:
+            a = _goto_adjacent_and(env, live_taps, extract_name)
             if a is not None:
                 return a
+            # live tap fully enclosed by items (Pogostick-v0 spawns sticks/
+            # planks that can box the pre-placed tap in): break a blocking
+            # neighbor — never a tree (stranding) nor the crafting table —
+            # to open an extraction spot
+            m = env.map
+            iid = env.items_id
+            keep_ids = {0, iid.get("wall", -1), iid.get("tree_log", -1),
+                        iid.get("crafting_table", -1)}
+            blockers = set()
+            for t in live_taps:
+                for cell in _adj4(t):
+                    if int(m[cell]) not in keep_ids:
+                        blockers.add(cell)
+            if blockers:
+                a = _goto_adjacent_and(env, blockers, "Break")
+                if a is not None:
+                    return a
         if tap_inv >= 1 and trees:
             a = _place_into_spot(env, _tap_spots(env, trees), place_name)
+            if a is not None:
+                return a
+        if taps and not live_taps and tap_inv < 1 and trees:
+            # a stranded tap (its tree was broken): break it back into the
+            # inventory, then the branch above re-places it next to a live
+            # tree
+            a = _goto_adjacent_and(env, taps, "Break")
             if a is not None:
                 return a
         if tap_inv < 1 and plank >= 5 and stick >= 1:
@@ -190,8 +221,16 @@ def _pogo_chain_expert(env, place_name, extract_name, craft_anywhere) -> int:
             a = craft("Craft_plank")
             if a is not None:
                 return a
-        # keep one tree standing for the tap
-        breakable = trees if (tap_secured or len(trees) > 1) else set()
+        # keep one tree standing for the tap, and NEVER break a live tap's
+        # adjacent tree before rubber is secured (breaking it strands the
+        # tap — the round-4 measured expert failure mode on Pogostick-v0)
+        protected = set()
+        if rubber < 1:
+            for t in taps:
+                protected |= _adj4(t) & trees
+        candidates = trees - protected
+        breakable = (candidates if (tap_secured or len(trees) > 1)
+                     and candidates else set())
         if breakable:
             a = _goto_adjacent_and(env, breakable, "Break")
             if a is not None:
