@@ -51,3 +51,54 @@ def test_all_envs_have_experts():
     from ngx.rl.experts import EXPERTS
 
     assert sorted(EXPERTS) == sorted(ENV_IDS)
+
+
+def test_expert_handles_boxed_and_stranded_tap():
+    """Round-4 Pogostick-v0 failure modes: (a) the pre-placed tap enclosed
+    on all four sides by spawned sticks/planks — the expert must break a
+    blocker (never the adjacent tree) and still extract; (b) a stranded tap
+    (no adjacent tree) — the expert must recover it instead of extracting
+    forever."""
+    import ngx
+    import ngx.compat as C
+    from ngx.core.state import state_from_numpy
+    from ngx.rl.experts import get_expert
+
+    env = C.make("NovelGridworld-Pogostick-v0")
+    expert = get_expert("NovelGridworld-Pogostick-v0")
+    spec = env.spec
+    iid = spec.items_id
+
+    def run_from(m, agent, facing):
+        inv = np.zeros((spec.n_items,), np.int64)
+        env.set_state(state_from_numpy(spec, m, agent, facing, inv))
+        for t in range(100):
+            _, r, done, _ = env.step(expert(env))
+            if done:
+                return True, t
+        return False, 100
+
+    H = spec.map_size
+    base = np.zeros((H, H), np.int64)
+    base[0, :] = base[-1, :] = base[:, 0] = base[:, -1] = iid["wall"]
+
+    # (a) boxed tap: P at (3,3) with tree E and stick/plank on N/W/S
+    m = base.copy()
+    m[3, 3] = iid["tree_tap"]
+    m[3, 4] = iid["tree_log"]
+    m[2, 3] = iid["stick"]
+    m[3, 2] = iid["plank"]
+    m[4, 3] = iid["stick"]
+    m[6, 7] = iid["crafting_table"]
+    m[6, 2] = iid["tree_log"]
+    solved, steps = run_from(m, (6, 6), 0)
+    assert solved, "expert failed on the boxed-tap scenario"
+
+    # (b) stranded tap: P with NO adjacent tree; one tree elsewhere
+    m = base.copy()
+    m[3, 3] = iid["tree_tap"]
+    m[7, 7] = iid["tree_log"]
+    m[6, 2] = iid["crafting_table"]
+    m[2, 6] = iid["tree_log"]
+    solved, steps = run_from(m, (5, 5), 0)
+    assert solved, "expert failed on the stranded-tap scenario"
