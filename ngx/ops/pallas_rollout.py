@@ -234,6 +234,15 @@ def _make_reset_block(sp, TB):
             mats.append(M9)
         return mats
 
+    # score layout for the subset selection: top bits uniform, low bits the
+    # lane index as a tie-break — distinct within a row by construction.
+    # Lane width scales with the map (map_size 10 -> 8 bits; reset(map_size=
+    # 20) -> HW=400 needs 9); total stays <= 30 bits so the bisection bound
+    # fits int32.
+    LANE_BITS = max(8, (HW - 1).bit_length())
+    U_BITS = 30 - LANE_BITS
+    assert U_BITS >= 12, f"map too large for the subset selector (HW={HW})"
+
     def _select_n_uniform(valid, n, seed, ctr, salt):
         """Boolean [TB, HW] mask of EXACTLY min(n, count(valid)) cells per
         row, drawn uniformly without replacement among that row's valid
@@ -241,18 +250,19 @@ def _make_reset_block(sp, TB):
 
         Selecting the n smallest of iid uniform scores over the valid set is
         a uniform n-subset.  Mosaic has no argsort, so the rank cut is found
-        by exact INTEGER bisection on the score threshold: scores are 16
-        uniform bits concatenated with the 7-bit lane index (distinct within
-        a row by construction), and 24 halvings of the [0, 2^24) interval
-        pin the unique threshold with count(valid & s < t) == n."""
+        by exact INTEGER bisection on the score threshold: scores are U_BITS
+        uniform bits concatenated with the LANE_BITS lane index (distinct
+        within a row by construction), and 30 halvings of the [0, 2^30)
+        interval pin the unique threshold with count(valid & s < t) == n."""
         bits = _bits(seed, ctr, salt, (TB, HW))
         lane = jax.lax.broadcasted_iota(jnp.int32, (TB, HW), 1)
-        s = _i32((bits >> np.uint32(16)) << np.uint32(8)) | lane
+        s = _i32((bits >> np.uint32(32 - U_BITS))
+                 << np.uint32(LANE_BITS)) | lane
         count = jnp.sum(jnp.where(valid, 1, 0), axis=1, keepdims=True)
         n = jnp.minimum(n, count)
         lo = jnp.zeros((TB, 1), jnp.int32)
-        hi = jnp.full((TB, 1), 1 << 24, jnp.int32)
-        for _ in range(24):   # static unroll — no vector loop carries
+        hi = jnp.full((TB, 1), 1 << 30, jnp.int32)
+        for _ in range(30):   # static unroll — no vector loop carries
             mid = (lo + hi) // 2
             c = jnp.sum(jnp.where(valid & (s < mid), 1, 0), axis=1,
                         keepdims=True)

@@ -224,6 +224,22 @@ def test_pallas_reset_novelty_edits():
         (n_add.mean(), n_add_x.mean())
 
 
+def test_pallas_reset_novelty_edits_map16():
+    """The subset selector's lane tie-break must stay exact beyond 256
+    cells (map_size 16 -> HW=256, the 8-bit-lane boundary): firewall-hard
+    at size 16 deterministically replaces ALL 60 wall cells."""
+    base = ngx.make_spec(POGO, map_size=16)
+    fw = ngx.inject_novelty(base, "firewall", "hard")
+    B = 256
+    run0 = make_pallas_rollout(fw, B, 0, block=128, interpret=True)
+    st, _, _ = jax.jit(run0)(13)
+    maps = np.asarray(st.map2d)
+    fire = fw.items.index("fire_wall")
+    wall = fw.items.index("wall")
+    assert ((maps == fire).sum(axis=(1, 2)) == 60).all()
+    assert ((maps == wall).sum(axis=(1, 2)) == 0).all()
+
+
 def test_pallas_train_rollout_novelty_spec():
     """The trainer kernel on a novelty-injected spec (the reference's
     central scenario, tests/train.py:73-89): builds, runs, and the emitted
