@@ -217,6 +217,10 @@ def make_reset(sp: S.EnvSpec):
     return reset
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def ceil_percent_pairs(max_count: int):
     """(count, p) pairs in [0, max_count] x [1, 100) where the reference's
     f64 ``int(np.ceil(count * (p / 100)))`` (novelty_wrappers.py:881,1025,
@@ -230,7 +234,7 @@ def ceil_percent_pairs(max_count: int):
         for p in range(1, 100):
             if int(np.ceil(count * (p / 100))) != (count * p + 99) // 100:
                 pairs.append((count, p))
-    return pairs
+    return tuple(pairs)
 
 
 def _ceil_percent(count, p, max_count: int):
