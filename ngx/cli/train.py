@@ -68,6 +68,13 @@ def main(argv=None):
     p.add_argument("-chain_ckpts", default="",
                    help="dir holding per-stage native checkpoints "
                         "(<env_id>/best) for the frozen chain stages")
+    p.add_argument("-updates_per_launch", type=int, default=8,
+                   help="PPO updates folded into ONE jit launch via "
+                        "lax.scan: over the tunneled-TPU transport every "
+                        "launch pays ~30ms dispatch plus a ~0.5s host "
+                        "metric fetch, so batching updates is a large "
+                        "wall-clock win; metrics still logged per update "
+                        "(stacked).  1 = the old per-update behavior")
     p.add_argument("-rollout_backend", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="acting-loop backend: the fused Pallas kernel wins "
@@ -79,6 +86,7 @@ def main(argv=None):
     import dataclasses
 
     import jax
+    import numpy as np
     from . import enable_compile_cache
     enable_compile_cache()
     from ngx.rl.train import PPOConfig, make_train
@@ -163,17 +171,50 @@ def main(argv=None):
                                           steps=args.pretrain_steps)
         print(f"BC pretrain: loss={m['loss']:.3f} acc={m['accuracy']:.2%}")
         carry = (ts.replace(params=params),) + carry[1:]
-    step = jax.jit(train_step)
     best = None
 
     from collections import deque
     window = deque(maxlen=10)   # trailing multi-update aggregation
 
-    def run_updates(n, carry, step, offset=0):
+    K = max(1, args.updates_per_launch)
+
+    def run_updates(n, carry, step_fn, offset=0):
         nonlocal best
-        for u in range(n):
-            carry, metrics = step(carry, jax.random.fold_in(key, offset + u + 1))
-            m = {k: float(v) for k, v in metrics.items()}
+        import jax.numpy as jnp
+        # K updates per launch: one lax.scan launch amortizes the tunnel's
+        # per-dispatch latency and the per-update host metric fetch.  The
+        # 'best' checkpoint saves the END-OF-LAUNCH params (up to K-1
+        # updates past the best-scoring window — policies drift little over
+        # one launch; set -updates_per_launch 1 for exact behavior).
+        multi = jax.jit(lambda c, ks: jax.lax.scan(step_fn, c, ks))
+        u, k_launch = 0, K
+        while u < n:
+            k = min(k_launch, n - u)
+            keys = jnp.stack([jax.random.fold_in(key, offset + u + i + 1)
+                              for i in range(k)])
+            try:
+                carry, stacked = multi(carry, keys)
+            except Exception as e:
+                if k == 1:
+                    raise
+                # some Pallas configs (block 256) exceed the scoped-VMEM
+                # limit only when the kernel is wrapped in the update scan
+                # — fall back to per-update launches (carry is untouched:
+                # the launch failed at compile time)
+                print(f"updates_per_launch={k} failed to compile "
+                      f"({type(e).__name__}); falling back to 1")
+                k_launch = 1
+                continue
+            stacked = {kk: np.asarray(v) for kk, v in stacked.items()}
+            for i in range(k):
+                _log_update(offset + u + i, carry,
+                            {kk: float(v[i]) for kk, v in stacked.items()})
+            u += k
+        return carry
+
+    def _log_update(uidx, carry, m):
+        nonlocal best
+        if True:
             count = max(m["ep_count"], 1.0)
             mean_ep = m["ep_return_sum"] / count
             solve = m.get("ep_solved", 0.0) / count
@@ -192,7 +233,7 @@ def main(argv=None):
                         "l": int(round(steps_per_update / count)),
                         "t": round(time.time() - t0, 4)})
             f.flush()
-            done_steps = (offset + u + 1) * steps_per_update
+            done_steps = (uidx + 1) * steps_per_update
             print(f"steps {done_steps}: mean_ep_return={mean_ep:.2f} "
                   f"solve={solve:.0%} (10-update agg {solve_agg:.0%}) "
                   f"episodes={int(m['ep_count'])} "
@@ -212,10 +253,9 @@ def main(argv=None):
                                  "solve_frac": solve_agg}})
                 print(f"  saved new best ({args.best_metric}="
                       f"{score[0]:.2f})")
-        return carry
 
     if inject_update:
-        carry = run_updates(min(inject_update, num_updates), carry, step)
+        carry = run_updates(min(inject_update, num_updates), carry, train_step)
         if inject_update < num_updates:
             # novelty response experiment: rebuild the env mid-training
             # (RemapActionOnStep, reference tests/train.py:73-89)
@@ -233,11 +273,10 @@ def main(argv=None):
             carry2 = init2(jax.random.fold_in(key, 999))
             ts = carry[0]
             carry = (ts, carry2[1], carry2[2], carry2[3])
-            step2 = jax.jit(train_step2)
-            carry = run_updates(num_updates - inject_update, carry, step2,
-                                offset=inject_update)
+            carry = run_updates(num_updates - inject_update, carry,
+                                train_step2, offset=inject_update)
     else:
-        carry = run_updates(num_updates, carry, step)
+        carry = run_updates(num_updates, carry, train_step)
 
     if args.ckpt:
         save_pytree(os.path.join(args.ckpt, "final"),
