@@ -138,7 +138,12 @@ def main(argv=None):
             else:
                 stage_params.append(None)
                 print(f"chain stage {e}: random actions (no checkpoint)")
-        init, train_step = make_train_chain(cfg, env_ids, stage_params)
+        init, train_step = make_train_chain(
+            cfg, env_ids, stage_params,
+            rollout_backend=args.rollout_backend, bc_data=bc_data)
+        # chain mode: the restore pool refreshes once per LAUNCH (the
+        # reference re-chains once per learn(500), train_last_agent.py)
+        refresh_pool = jax.jit(train_step.refresh_pool)
     else:
         init, train_step = make_train(cfg,
                                       rollout_backend=args.rollout_backend,
@@ -190,6 +195,9 @@ def main(argv=None):
         u, k_launch = 0, K
         while u < n:
             k = min(k_launch, n - u)
+            if args.chain:
+                carry = refresh_pool(
+                    carry, jax.random.fold_in(key, 500_000 + offset + u))
             keys = jnp.stack([jax.random.fold_in(key, offset + u + i + 1)
                               for i in range(k)])
             try:
@@ -273,6 +281,12 @@ def main(argv=None):
             carry2 = init2(jax.random.fold_in(key, 999))
             ts = carry[0]
             carry = (ts, carry2[1], carry2[2], carry2[3])
+            # the trailing solve/return aggregation window must not mix
+            # pre- and post-injection episode counts (the dynamics just
+            # changed); 'best' also restarts so the first post-injection
+            # checkpoint reflects the novelty regime only
+            window.clear()
+            best = None
             carry = run_updates(num_updates - inject_update, carry,
                                 train_step2, offset=inject_update)
     else:

@@ -338,7 +338,12 @@ def _addjump(sp) -> EnvSpec:
 def _breakincrease(sp, item: str) -> EnvSpec:
     """BreakIncrease (novelty_wrappers.py:1415-1488): every successful Break
     rewards +10; the named item (or every item if '') yields 2."""
-    by = np.asarray(sp.break_yield).copy()
+    # full shadow: the wrapper's inline Break path yields exactly 1 for any
+    # item other than its own target (novelty_wrappers.py:1448-1452 `else:
+    # += 1`), so an INNER yield override (e.g. a stacked breakincrease-'')
+    # is discarded, not inherited — caught by the generated matrix's
+    # double-breakincrease stack.
+    by = np.ones_like(np.asarray(sp.break_yield))
     if item:
         assert item in sp.items, f"{item} is not in {sp.env_id}"
         by[sp.items.index(item)] = 2

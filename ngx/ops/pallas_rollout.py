@@ -58,6 +58,20 @@ from ..core import spec as S
 from ..core.state import EnvState
 from ..core.step import make_step
 
+# v5e has 128MiB of VMEM per core; Mosaic's default SCOPED-vmem check caps a
+# kernel at 16MiB, and exceeding it is what round 4 misread as a "Mosaic
+# compile cliff" (the remote compile helper surfaces the OOM as a bare
+# HTTP 500 — docs/MOSAIC_BUGS.md).  Raising the limit legitimizes the
+# larger configs (block 256 with pool inputs, block 512); 96MiB leaves
+# headroom for the pipeline's double buffers.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    cp = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams")
+    return cp(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def supports_pallas_rollout(sp) -> bool:
     """The Pallas fast path covers EVERY spec since round 4: the in-kernel
@@ -73,6 +87,11 @@ def supports_pallas_rollout(sp) -> bool:
 
 # packed int32 scalar-register columns (one row per env)
 _R, _C, _FACE, _SEL, _CNT, _LACT, _LDONE, _PAD = range(8)
+# trainer kernel only: 9th column = step_count at the last restore (the
+# episode budget counts from the restore — pool-restored states inherit the
+# chain's step_count, reference novel_gridworld_v2_env.py:87-97)
+_BASE = 8
+_NIR = 9          # int-reg columns in the trainer kernel
 
 
 # ---- stateless counter-based RNG (shared by all kernels) -------------------
@@ -428,6 +447,27 @@ def _make_reset_block(sp, TB):
     return _reset_block
 
 
+def make_xla_pool_reset(sp, n: int):
+    """The in-kernel reset math as a plain-XLA batched generator:
+    ``gen(seed[, ctr]) -> EnvState[n]`` (flat-map layout, int32 last_done).
+
+    Used to fill the trainer's reset POOL (``reset_source='pool'``): the
+    conformance-anchored ``ngx.core.reset.make_reset`` costs ~30ms per
+    8k x 4 pool on the chip (vmapped scatters: per-placement ``.at[].set``
+    and the percent-fill rank scatter serialize badly on TPU), while this
+    form is scatter-free — one-hot where-writes, matmul adjacency, integer-
+    bisection subset selection — and runs in ~1ms at the same batch.  Same
+    distribution as the reference reset (see _make_reset_block /
+    ngx/core/reset.py's equivalence argument), same counter-RNG streams as
+    the kernel's native resets."""
+    rb = _make_reset_block(sp, n)
+
+    def gen(seed, ctr=0):
+        return rb(jnp.asarray(seed, jnp.int32), jnp.asarray(ctr, jnp.int32))
+
+    return gen
+
+
 def _make_lidar_obs_fn(sp, tab, TB):
     """LidarInFront obs [TB, OBS_DIM] f32, Mosaic-lowerable: one-hot map
     reads (no gathers), static permutations, column stacks.  Same probe
@@ -734,6 +774,7 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
         ],
     )
     call = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          compiler_params=_compiler_params(),
                           interpret=interpret)
 
     def run(seed, actions=None):
@@ -770,7 +811,9 @@ def make_pallas_rollout(sp, batch: int, steps: int, block: int = 512,
 
 def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                               cap: int = 100, hidden=(64, 64),
-                              interpret=None, t_chunk: int = 64):
+                              interpret=None, t_chunk: int = 64,
+                              reset_source: str = "native",
+                              pool_slots: int = 8):
     """The fused acting rollout FOR THE PPO TRAINER — the 'policy' kernel
     re-plumbed for training:
 
@@ -784,14 +827,43 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
       over the emitted obs, which makes old_logp consistent with the update's
       recompute path bit-for-bit by construction;
     * the trainer's episode-cap truncation (ngx/rl/train.py: capped envs
-      auto-reset and count as done for GAE) runs in-kernel.
+      auto-reset and count as done for GAE) runs in-kernel, counted from the
+      per-env restore baseline (the ``_BASE`` register — 0 for procedural
+      resets; the inherited ``step_count`` for chain restores).
 
-    Returns ``run(seed, state: EnvState[batch], params) ->
+    ``reset_source``:
+
+    * ``'native'`` — episode-boundary resets are the in-kernel procedural
+      generation (:func:`_make_reset_block`).
+    * ``'pool'`` — boundary resets DRAW FROM AN INPUT POOL of pre-computed
+      states: ``run(seed, state, params, pool, base)`` where ``pool`` is an
+      ``EnvState`` whose leaves carry leading dims ``[batch, pool_slots]``
+      and ``base`` is int32[batch] (steps consumed before the current
+      episode's restore).  Env ``b``'s k-th in-rollout reset takes
+      ``pool[b, k % pool_slots]`` — the caller refreshes the pool every
+      launch, so slots are fresh iid draws unless an env finishes more than
+      ``pool_slots`` episodes in one rollout (then slots cycle).  This is
+      (a) how the CHAIN trainer restores chain-terminal states in-kernel
+      (reference ``tests/train_last_agent.py:77-87``), and (b) how
+      novelty-injected specs keep the fast (block 256, t_chunk 16) config:
+      the percent-fill/wall-coin/tap reset edits run OUTSIDE the kernel in
+      the XLA reset (``ngx.core.reset``), whose in-kernel replication is
+      exactly what pushed those specs over the Mosaic compile cliff
+      (docs/MOSAIC_BUGS.md).  Pool restores set ``selected=-1``,
+      ``last_action=0`` and ``last_reward/cost=0`` (none feed obs, reward
+      or done; the restore semantics for the fields that matter — map,
+      agent, facing, inventory, step_count — follow the reference's
+      deep-copy, novel_gridworld_v2_env.py:77-97).
+
+    Returns ``run(seed, state: EnvState[batch], params[, pool, base]) ->
     (EnvState[batch], obs[T,B,OBS_DIM] f32, action[T,B] i32,
-    reward[T,B] f32, done[T,B] bool)``.
+    reward[T,B] f32, done[T,B] bool[, base_out[B] i32])``.
     """
     assert supports_pallas_rollout(sp), sp.env_id
     assert batch % block == 0, (batch, block)
+    assert reset_source in ("native", "pool"), reset_source
+    POOL_RESET = reset_source == "pool"
+    R = int(pool_slots)
     if interpret is None:     # auto: Mosaic on the chip, interpreter elsewhere
         interpret = jax.default_backend() != "tpu"
     from ..utils import debug
@@ -808,7 +880,7 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     tab = _build_lidar_tables(sp)
     OBS_DIM = tab["OBS_DIM"]
     lidar_obs = _make_lidar_obs_fn(sp, tab, TB)
-    reset_block = _make_reset_block(sp, TB)
+    reset_block = None if POOL_RESET else _make_reset_block(sp, TB)
 
     # bf16 trajectory-obs emission is lossless only while every obs
     # component stays < 256 (8-bit mantissa).  Lidar distances are bounded
@@ -818,9 +890,12 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     # pogostick_v1_env.py:315-331: +amount/step); place/break cycles (net
     # yield-1 per 2 steps); craft mass amplification (<= 4x the total
     # obtainable resource mass — plank is the biggest multiplier); crate
-    # grants (<= crates placeable x per-item content).  Specs that can
-    # exceed 255 (e.g. extractincdec-increase string farming at cap 100)
-    # emit f32 obs instead — exact for ints < 2^24 — at 2x the HBM traffic.
+    # grants (<= crates placeable x per-item content).  The terms are
+    # SUMMED, not maxed: mechanisms combine within one episode (crate
+    # grants + craft amplification on top of tap extraction), so the bound
+    # must cover their union.  Specs whose summed bound reaches 256 (e.g.
+    # extractincdec-increase string farming at cap 100) emit f32 obs
+    # instead — exact for ints < 2^24 — at 2x the HBM traffic.
     start_hi = np.zeros((I,), np.int64)
     if sp.start_inv_hi is not None:
         start_hi = np.maximum(start_hi, np.asarray(sp.start_inv_hi))
@@ -837,13 +912,13 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     if sp.crate_contents is not None:
         _terms.append(((3 * HW) // 10)
                       * int(np.asarray(sp.crate_contents).max()))
-    _obs_bound = int(start_hi.max()) + max(_terms)
+    _obs_bound = int(start_hi.max()) + sum(_terms)
     OBS_DTYPE = jnp.bfloat16 if _obs_bound < 256 else jnp.float32
 
-    def _pack(st, rs, ds):
+    def _pack(st, rs, ds, base):
         iregs = jnp.stack(
             [st.agent[:, 0], st.agent[:, 1], st.facing, st.selected,
-             st.step_count, st.last_action, st.last_done, ds], axis=-1)
+             st.step_count, st.last_action, st.last_done, ds, base], axis=-1)
         fregs = jnp.stack([st.last_reward, st.last_cost, rs,
                            jnp.zeros_like(st.last_reward)], axis=-1)
         return st.map, iregs, fregs, st.inventory
@@ -856,7 +931,16 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
             last_cost=fc[:, 1], last_done=ir[:, _LDONE])
 
     # ---- the per-step compute, traced to a jaxpr with params as ARGS ------
-    def _step_arrays(seed, t, m, ir, fc, inv, *pi):
+    # pool mode: the slot-concatenated pool arrays ride as three extra args
+    # (map [TB, R*HW], inv [TB, R*I], scalars [TB, R*4] = per-slot
+    # (r, c, facing, step_count)); slot selection is R static lane slices
+    # merged by a per-row (slot == r) select — no gathers.
+    def _step_arrays(seed, t, m, ir, fc, inv, *rest):
+        if POOL_RESET:
+            pmap, pinv, psc = rest[:3]
+            pi = rest[3:]
+        else:
+            pi = rest
         st = _unpack(m, ir, fc, inv)
         ctr = t + 1
         obs = lidar_obs(st)                              # [TB, OBS_DIM] f32
@@ -878,23 +962,58 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                               A), axis=1)
         ns, _, r, done, _info = vstep(st, a)
         ns = ns.replace(last_done=jnp.where(done, 1, 0))
-        # the trainer's time-limit truncation: capped envs reset, done for GAE
-        done_t = done | (ns.step_count >= cap)
+        # the trainer's time-limit truncation: capped envs reset, done for
+        # GAE.  The budget counts from the restore baseline (_BASE): 0 for
+        # procedural resets, the inherited step_count for chain restores.
+        done_t = done | (ns.step_count - ir[:, _BASE] >= cap)
         di = jnp.where(done_t, 1, 0)
-        packed = _pack(ns, fc[:, 2] + r, ir[:, _PAD] + di)
+        packed = _pack(ns, fc[:, 2] + r, ir[:, _PAD] + di, ir[:, _BASE])
 
-        def do_merge(ops):
-            p, d2 = ops
-            fresh = _pack(reset_block(seed, ctr), p[2][:, 2], p[1][:, _PAD])
-            return tuple(jnp.where(d2 != 0, f, n) for f, n in zip(fresh, p))
+        if POOL_RESET:
+            def do_merge(ops):
+                p, d2 = ops
+                ds_new = p[1][:, _PAD]
+                slot = jnp.maximum(ds_new - 1, 0) % R
+                zsel = jnp.zeros((TB, 1), jnp.int32)
+
+                def pick(arr, w):
+                    out = jnp.zeros((TB, w), arr.dtype)
+                    for rr in range(R):
+                        out = jnp.where((slot == rr)[:, None],
+                                        arr[:, rr * w:(rr + 1) * w], out)
+                    return out
+
+                fm = pick(pmap, HW)
+                fi = pick(pinv, I)
+                sc = pick(psc, 4)
+                fcnt = sc[:, 3]
+                fresh_ir = jnp.stack(
+                    [sc[:, 0], sc[:, 1], sc[:, 2], zsel[:, 0] - 1, fcnt,
+                     zsel[:, 0], zsel[:, 0], ds_new, fcnt], axis=-1)
+                zf = jnp.zeros((TB,), jnp.float32)
+                fresh_fc = jnp.stack([zf, zf, p[2][:, 2], zf], axis=-1)
+                fresh = (fm, fresh_ir, fresh_fc, fi)
+                return tuple(jnp.where(d2 != 0, f, n)
+                             for f, n in zip(fresh, p))
+        else:
+            def do_merge(ops):
+                p, d2 = ops
+                fresh = _pack(reset_block(seed, ctr), p[2][:, 2],
+                              p[1][:, _PAD], jnp.zeros((TB,), jnp.int32))
+                return tuple(jnp.where(d2 != 0, f, n)
+                             for f, n in zip(fresh, p))
 
         merged = jax.lax.cond(jnp.any(done_t), do_merge, lambda ops: ops[0],
                               (packed, di[:, None]))
         return merged + (obs, a, r, di)
 
     _seed_ex = jnp.zeros((), jnp.int32)
-    _state_ex = (jnp.zeros((TB, HW), jnp.int32), jnp.zeros((TB, 8), jnp.int32),
+    _state_ex = (jnp.zeros((TB, HW), jnp.int32),
+                 jnp.zeros((TB, _NIR), jnp.int32),
                  jnp.zeros((TB, 4), jnp.float32), jnp.zeros((TB, I), jnp.int32))
+    _pool_ex = ((jnp.zeros((TB, R * HW), jnp.int32),
+                 jnp.zeros((TB, R * I), jnp.int32),
+                 jnp.zeros((TB, R * 4), jnp.int32)) if POOL_RESET else ())
     _pi_ex = []
     d_in = OBS_DIM
     for hdim in hidden:
@@ -905,9 +1024,10 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                jnp.zeros((1, A), jnp.float32)]
     n_pi = len(_pi_ex)
     step_jaxpr = jax.make_jaxpr(_step_arrays)(_seed_ex, _seed_ex, *_state_ex,
-                                              *_pi_ex)
+                                              *_pool_ex, *_pi_ex)
     consts = [jnp.asarray(np.asarray(c)) for c in step_jaxpr.consts]
     n_consts = len(consts)
+    n_pool = len(_pool_ex)
 
     # For long rollouts the time axis is CHUNKED into a second grid
     # dimension: the state scratch persists across the sequential
@@ -925,12 +1045,14 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
 
     def kernel(seed_ref, *refs):
         state_in = refs[:4]
-        pi_refs = refs[4:4 + n_pi]
-        const_refs = refs[4 + n_pi:4 + n_pi + n_consts]
+        pool_refs = refs[4:4 + n_pool]
+        pi_refs = refs[4 + n_pool:4 + n_pool + n_pi]
+        n_fixed = 4 + n_pool + n_pi
+        const_refs = refs[n_fixed:n_fixed + n_consts]
         (map_out, iregs_out, fregs_out, inv_out,
-         obs_out, act_out, rew_out, done_out) = refs[4 + n_pi + n_consts:
-                                                     4 + n_pi + n_consts + 8]
-        map_s, ir_s, fc_s, inv_s = refs[4 + n_pi + n_consts + 8:]
+         obs_out, act_out, rew_out, done_out) = refs[n_fixed + n_consts:
+                                                     n_fixed + n_consts + 8]
+        map_s, ir_s, fc_s, inv_s = refs[n_fixed + n_consts + 8:]
         blk = pl.program_id(0)
         tc = pl.program_id(1) if TWO_D else jnp.int32(0)
         seed = seed_ref[0] + blk * jnp.int32(7919)
@@ -943,12 +1065,13 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
             inv_s[:, :] = state_in[3][...]
 
         cs = [const_refs[k][...] for k in range(n_consts)]
+        pool = tuple(pool_refs[k][...] for k in range(n_pool))
         pi = tuple(pi_refs[k][...] for k in range(n_pi))
 
         def body(tl, _):
             t = tc * TC + tl                     # global step index (RNG ctr)
             args = (seed, t, map_s[:, :], ir_s[:, :], fc_s[:, :],
-                    inv_s[:, :]) + pi
+                    inv_s[:, :]) + pool + pi
             (m, ir, fc, inv, obs, a, r, di) = jax.core.eval_jaxpr(
                 step_jaxpr.jaxpr, cs, *args)
             map_s[:, :] = m
@@ -973,7 +1096,7 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
 
     out_shape = (
         jax.ShapeDtypeStruct((batch, HW), jnp.int32),
-        jax.ShapeDtypeStruct((batch, 8), jnp.int32),
+        jax.ShapeDtypeStruct((batch, _NIR), jnp.int32),
         jax.ShapeDtypeStruct((batch, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch, I), jnp.int32),
         jax.ShapeDtypeStruct((T, batch, OBS_DIM), OBS_DTYPE),
@@ -1002,7 +1125,7 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
 
     out_specs = (
         pl.BlockSpec((TB, HW), env_ix, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 8), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, _NIR), env_ix, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, 4), env_ix, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, I), env_ix, memory_space=pltpu.VMEM),
         pl.BlockSpec((TC, TB, OBS_DIM), traj3_ix, memory_space=pltpu.VMEM),
@@ -1012,10 +1135,16 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     )
     in_specs = [
         pl.BlockSpec((TB, HW), env_ix, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 8), env_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, _NIR), env_ix, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, 4), env_ix, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, I), env_ix, memory_space=pltpu.VMEM),
     ]
+    if POOL_RESET:
+        in_specs += [
+            pl.BlockSpec((TB, R * HW), env_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R * I), env_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R * 4), env_ix, memory_space=pltpu.VMEM),
+        ]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
                  for _ in range(n_pi + n_consts)]
 
@@ -1026,15 +1155,16 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((TB, HW), jnp.int32),
-            pltpu.VMEM((TB, 8), jnp.int32),
+            pltpu.VMEM((TB, _NIR), jnp.int32),
             pltpu.VMEM((TB, 4), jnp.float32),
             pltpu.VMEM((TB, I), jnp.int32),
         ],
     )
     call = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          compiler_params=_compiler_params(),
                           interpret=interpret)
 
-    def run(seed, state: EnvState, params):
+    def run(seed, state: EnvState, params, pool: EnvState = None, base=None):
         pp = params.get("params", params)
         flat = []
         for i in range(nh):
@@ -1045,27 +1175,46 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                  jnp.asarray(pp["pi_out"]["bias"], jnp.float32).reshape(1, -1)]
         seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
         ld = jnp.asarray(state.last_done)
+        if base is None:
+            base = jnp.zeros((batch,), jnp.int32)
         iregs = jnp.stack(
             [state.agent[:, 0], state.agent[:, 1], state.facing,
              state.selected, state.step_count, state.last_action,
              jnp.where(ld, 1, 0).astype(jnp.int32),
-             jnp.zeros((batch,), jnp.int32)], axis=-1)
+             jnp.zeros((batch,), jnp.int32),
+             jnp.asarray(base, jnp.int32)], axis=-1)
         fregs = jnp.stack(
             [state.last_reward, state.last_cost,
              jnp.zeros((batch,), jnp.float32),
              jnp.zeros((batch,), jnp.float32)], axis=-1)
+        pool_args = ()
+        if POOL_RESET:
+            assert pool is not None, "reset_source='pool' needs a pool"
+            pmap = jnp.asarray(pool.map, jnp.int32).reshape(batch, R * HW)
+            pinv = jnp.asarray(pool.inventory,
+                               jnp.int32).reshape(batch, R * I)
+            psc = jnp.stack(
+                [pool.agent[..., 0], pool.agent[..., 1], pool.facing,
+                 pool.step_count], axis=-1).astype(jnp.int32)
+            pool_args = (pmap, pinv, psc.reshape(batch, R * 4))
         m, ir, fc, inv, obs, act, rew, done = call(
             seed_arr, jnp.asarray(state.map, jnp.int32), iregs, fregs,
-            jnp.asarray(state.inventory, jnp.int32), *flat, *consts)
+            jnp.asarray(state.inventory, jnp.int32), *pool_args, *flat,
+            *consts)
         out_state = EnvState(
             map=m, agent=ir[:, :2], facing=ir[:, _FACE], inventory=inv,
             selected=ir[:, _SEL], step_count=ir[:, _CNT],
             last_action=ir[:, _LACT], last_reward=fc[:, 0],
             last_cost=fc[:, 1], last_done=ir[:, _LDONE].astype(bool))
         # -> f32 is exact here (bf16 only when the bound proves it)
-        return out_state, obs.astype(jnp.float32), act, rew, done.astype(bool)
+        out = (out_state, obs.astype(jnp.float32), act, rew,
+               done.astype(bool))
+        if POOL_RESET:
+            out = out + (ir[:, _BASE],)
+        return out
 
     run.obs_dim = OBS_DIM
+    run.pool_slots = R
     return run
 
 

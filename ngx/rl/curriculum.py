@@ -45,10 +45,12 @@ def make_state_adapter(src_spec, dst_spec):
     """Pure ``EnvState -> EnvState`` implementing the reference's restore
     deep-copy (``novel_gridworld_v2_env.py:77-97``, modern variant
     ``pogostick_v1_env.py:89-109``): map, agent location/facing, inventory,
-    ``step_count`` and ``last_reward`` carry over; ``last_done`` resets to
-    False; ``selected_item`` and step bookkeeping are the fresh env's
-    (the reference's restore never touches them).  Item ids are re-indexed
-    by NAME so specs with different tables stay consistent.  vmappable."""
+    ``step_count``, ``last_action`` and ``last_reward`` carry over;
+    ``last_done`` resets to False; ``selected_item`` is the fresh env's.
+    Item AND action ids are re-indexed by NAME so specs with different
+    tables stay consistent (the reference stores the action as a string, so
+    its deep-copy is name-preserving by construction; a src action absent
+    from dst maps to 0).  vmappable."""
     map_remap = np.zeros((src_spec.n_items,), np.int32)
     for i, n in enumerate(src_spec.items):
         map_remap[i] = dst_spec.items.index(n) if n in dst_spec.items else 0
@@ -56,6 +58,10 @@ def make_state_adapter(src_spec, dst_spec):
     for j, n in enumerate(dst_spec.items):
         if n in src_spec.items:
             inv_gather[j] = src_spec.items.index(n)
+    act_remap = np.zeros((src_spec.n_actions,), np.int32)
+    for i, n in enumerate(src_spec.actions):
+        act_remap[i] = (dst_spec.actions.index(n)
+                        if n in dst_spec.actions else 0)
     assert src_spec.map_size == dst_spec.map_size, \
         (src_spec.map_size, dst_spec.map_size)
 
@@ -71,7 +77,7 @@ def make_state_adapter(src_spec, dst_spec):
             inventory=inv.astype(jnp.int32),
             selected=jnp.int32(-1),
             step_count=st.step_count,
-            last_action=jnp.int32(0),
+            last_action=jnp.asarray(act_remap)[st.last_action],
             last_reward=st.last_reward,
             last_cost=jnp.float32(0.0),
             last_done=jnp.asarray(False),
@@ -170,6 +176,12 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
     def run(key):
         k0, k1 = jax.random.split(key)
         state, obs = chain(k0)
+        # per-stage step budget: the reference gives EACH chained env its
+        # own <=100-step loop (enjoy.py:87,107; train_last_agent.py:95-117),
+        # so the final stage's budget counts from the restore, not from the
+        # inherited total step_count (which can already exceed the cap when
+        # an earlier stage ran its full loop without finishing).
+        base = state.step_count
 
         def body(carry, key_t):
             state, obs, ret, done_ever, solved = carry
@@ -177,7 +189,7 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
                                     obs.astype(jnp.float32))
             a = jax.random.categorical(key_t, logits)
             ns, nobs, r, done, _ = v_step(state, a)
-            done = done | (ns.step_count >= cap)
+            done = done | (ns.step_count - base >= cap)
             active = ~done_ever
             ret = ret + jnp.where(active, r, 0.0)
             solved = solved | (active & done & (r > 0))
@@ -204,7 +216,8 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
 
 
 def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
-                     stage_params: Sequence, hidden=None):
+                     stage_params: Sequence, hidden=None,
+                     rollout_backend: str = "auto", bc_data=None):
     """(init, train_step) for PPO on the LAST env of ``env_ids``, where
     every reset — initial and at episode boundaries — restores a fresh
     chain-terminal state (reference semantics: the trained env's reset IS
@@ -212,8 +225,23 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
 
     The pool of B chain states refreshes inside every train step (the
     reference re-chains once per ``learn(500)``); boundary resets draw pool
-    rows uniformly.  XLA rollout only (the chain spec surface is identical
-    to make_train's; the fused Pallas backend applies to plain training)."""
+    rows uniformly.  ``rollout_backend='pallas'`` runs the acting loop as
+    the fused Mosaic kernel with ``reset_source='pool'``: boundary restores
+    pick chain-terminal states from the carried pool expanded to
+    ``pool_slots`` iid row draws per env (``'auto'`` picks pallas on TPU
+    when the batch is a multiple of the 128-env block).  ``bc_data`` and
+    ``cfg.solve_shaped`` apply the solver recipe (BC-anchored minibatch
+    loss + solve-shaped reward) to the chain stage, exactly as in
+    :func:`ngx.rl.train.make_train`.
+
+    The B-state restore pool rides in the CARRY; re-chaining is host-paced:
+    ``train_step`` leaves the pool untouched, and the attached
+    ``train_step.refresh_pool(carry, key)`` (jit it once) re-runs the chain
+    to replace it — ``ngx.cli.train`` calls it once per launch.  The
+    reference re-chains once per outer ``learn(500)``
+    (train_last_agent.py:95-117), i.e. far LESS often than per update; an
+    in-jit per-update re-chain would also dominate the step (the chain is
+    a cap-length frozen-stage scan, several rollouts' worth of stepping)."""
     hidden = tuple(hidden or cfg.hidden)
     B, T = cfg.num_envs, cfg.rollout_steps
     chain, spec = make_chain_reset(env_ids, stage_params, B,
@@ -222,7 +250,23 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
     v_step = jax.vmap(step1)
     get_obs_v = jax.vmap(step1.get_obs)
     model = ActorCritic(n_actions=spec.n_actions, hidden=hidden)
-    gae, update = make_ppo_core(cfg, model)
+    gae, update = make_ppo_core(cfg, model, bc_data=bc_data)
+
+    assert rollout_backend in ("auto", "xla", "pallas"), rollout_backend
+    use_pallas = (rollout_backend == "pallas"
+                  or (rollout_backend == "auto" and B % 128 == 0
+                      and jax.default_backend() == "tpu"))
+    if use_pallas and B % 128 != 0:
+        raise ValueError(f"rollout_backend='pallas' needs num_envs % 128 "
+                         f"== 0, got {B}")
+    if use_pallas:
+        from ..ops.pallas_rollout import make_pallas_train_rollout
+        R = 4
+        blk, tck = ((256, 16) if (B % 256 == 0 and T % 16 == 0
+                                  and 32 <= T <= 128) else (128, 64))
+        run_roll = make_pallas_train_rollout(
+            spec, B, T, block=blk, t_chunk=tck, cap=cfg.episode_cap,
+            hidden=hidden, reset_source="pool", pool_slots=R)
 
     def init(key):
         k_env, k_net = jax.random.split(key)
@@ -233,21 +277,27 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
             optax.adam(cfg.lr, eps=1e-5),
         )
         ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-        return ts, env_state, obs, jnp.zeros((B,), jnp.float32)
+        # carry a per-env restore baseline: episode budget counts from the
+        # restore (the reference gives each chained env its OWN <=100-step
+        # loop, enjoy.py:87,107, and its last-stage learn() has no time
+        # limit at all) — counting the inherited TOTAL step_count against
+        # the cap would make pool rows whose prior stages consumed >= cap
+        # steps instantly done forever (zero-length episode churn).
+        # The initial pool IS the initial state batch (both are fresh
+        # chain-terminal states); refresh_pool replaces it.
+        return (ts, env_state, obs, jnp.zeros((B,), jnp.float32),
+                env_state.step_count, env_state, obs)
 
-    def rollout(params, env_state, obs, pool, pool_obs, key):
-        # NOTE: episode_cap counts TOTAL steps — restored states inherit the
-        # chain's step_count (reference restore copies it), so a restored
-        # env's training episode is the REMAINDER of the 100-step budget,
-        # exactly like the reference's Monitor-ed last stage.
+    def rollout(params, env_state, obs, base, pool, pool_obs, key):
         def body(carry, key_t):
-            env_state, obs = carry
+            env_state, obs, base = carry
             k_act, k_pool = jax.random.split(key_t)
             logits, value = model.apply(params, obs.astype(jnp.float32))
             action = jax.random.categorical(k_act, logits)
-            logp = jax.nn.log_softmax(logits)[jnp.arange(B), action]
+            logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                       action[:, None], axis=1)[:, 0]
             ns, nobs, reward, done, _ = v_step(env_state, action)
-            done = done | (ns.step_count >= cfg.episode_cap)
+            done = done | (ns.step_count - base >= cfg.episode_cap)
             idx = jax.random.randint(k_pool, (B,), 0, B)
             fresh = jax.tree_util.tree_map(lambda x: x[idx], pool)
 
@@ -257,20 +307,53 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
 
             env_state = jax.tree_util.tree_map(mrg, fresh, ns)
             nobs = mrg(pool_obs[idx], nobs)
+            base = jnp.where(done, fresh.step_count, base)
             out = (obs, action, logp, value, reward, done)
-            return (env_state, nobs), out
+            return (env_state, nobs, base), out
 
-        (env_state, last_obs), traj = jax.lax.scan(
-            body, (env_state, obs), jax.random.split(key, T))
-        return env_state, last_obs, traj
+        (env_state, last_obs, base), traj = jax.lax.scan(
+            body, (env_state, obs, base), jax.random.split(key, T))
+        return env_state, last_obs, base, traj
+
+    if use_pallas:
+        def rollout_pallas(params, env_state, obs, base, pool, pool_obs,
+                           key):
+            k_seed, k_idx = jax.random.split(key)
+            seed = jax.random.randint(k_seed, (), 0,
+                                      jnp.iinfo(jnp.int32).max)
+            # expand the B-row chain pool to R iid row draws per env (the
+            # XLA path's uniform pool pick, pre-gathered outside the kernel)
+            idx = jax.random.randint(k_idx, (B, R), 0, B)
+            poolR = jax.tree_util.tree_map(lambda x: x[idx], pool)
+            env_state, obs_t, action, reward, done, base = run_roll(
+                seed, env_state, params, poolR, base)
+            # logp/value in ONE batched MXU pass — the update's recompute
+            # path, so ratio==1 at epoch 0 (same as make_train's pallas
+            # path; [T, B, ...] layout keeps the env axis shardable)
+            logits, value = model.apply(params, obs_t)
+            logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                       action[..., None], axis=-1)[..., 0]
+            traj = (obs_t, action, logp, value, reward, done)
+            return env_state, get_obs_v(env_state), base, traj
+
+        rollout_fn = rollout_pallas
+    else:
+        rollout_fn = rollout
 
     def train_step(carry, key):
-        ts, env_state, obs, ep_ret = carry
-        k_chain, k_roll, k_upd = jax.random.split(key, 3)
-        pool, pool_obs = chain(k_chain)       # fresh restore pool per update
-        pre_count = env_state.step_count
-        env_state, last_obs, (obs_t, action, logp, value, reward, done) = \
-            rollout(ts.params, env_state, obs, pool, pool_obs, k_roll)
+        ts, env_state, obs, ep_ret, base, pool, pool_obs = carry
+        _, k_roll, k_upd = jax.random.split(key, 3)
+        pre_count = env_state.step_count - base
+        env_state, last_obs, base, \
+            (obs_t, action, logp, value, reward, done) = \
+            rollout_fn(ts.params, env_state, obs, base, pool, pool_obs,
+                       k_roll)
+        if cfg.solve_shaped:
+            # same shaping as make_train: goal terminations pay exactly
+            # reward_done, everything else -1 (kills the farming optimum)
+            solved_step = done & (reward > 0.5 * spec.reward_done)
+            reward = jnp.where(solved_step, jnp.float32(spec.reward_done),
+                               jnp.float32(-1.0))
         _, last_value = model.apply(ts.params, last_obs.astype(jnp.float32))
         adv, target = gae(value, reward, done, last_value)
 
@@ -312,6 +395,15 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
             "v_loss": vl.mean(),
             "entropy": ent.mean(),
         }
-        return (ts, env_state, last_obs, ep_ret), metrics
+        return (ts, env_state, last_obs, ep_ret, base, pool, pool_obs), \
+            metrics
 
+    def refresh_pool(carry, key):
+        """Re-run the chain and swap the carried restore pool (host-paced —
+        once per launch in ngx.cli.train; the reference's analog is one
+        re-chain per learn(500))."""
+        pool, pool_obs = chain(key)
+        return carry[:5] + (pool, pool_obs)
+
+    train_step.refresh_pool = refresh_pool
     return init, train_step

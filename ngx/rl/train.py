@@ -65,14 +65,24 @@ def _flat_obs(spec):
         "apply ngx.transforms.lidar_in_front to the spec first"
 
 
-def make_ppo_core(cfg: PPOConfig, model, bc_data=None):
+def make_ppo_core(cfg: PPOConfig, model, bc_data=None, axis_name=None):
     """The pure PPO math, independent of how the rollout is produced:
     ``gae(values, rewards, dones, last_value) -> (adv, target)`` and
     ``update(train_state, (obs, action, logp, adv, target), key)`` (clipped
     surrogate + value + entropy over ``epochs`` x ``num_minibatches``, the
     SB2 PPO2 surface the reference trains with, tests/train.py:122).  Shared
     by :func:`make_train` and the curriculum trainer
-    (:mod:`ngx.rl.curriculum`)."""
+    (:mod:`ngx.rl.curriculum`).
+
+    ``axis_name``: when set, ``update`` runs SHARD-LOCAL under ``shard_map``
+    over that mesh axis — each device permutes and minibatches its own
+    trajectory shard, advantage-normalization moments and gradients are
+    ``pmean``-ed across the axis, and the optimizer applies the identical
+    averaged gradient everywhere.  This keeps the update data-parallel: the
+    naive global ``reshape(T*B)`` + random-row gather forces XLA to
+    all-gather the WHOLE trajectory to every device and run the update
+    replicated (caught by tests/test_distributed.py's compiled-HLO audit),
+    turning the update phase into zero-parallelism work."""
 
     def gae(values, rewards, dones, last_value):
         def body(carry, xs):
@@ -99,7 +109,17 @@ def make_ppo_core(cfg: PPOConfig, model, bc_data=None):
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
         ratio = jnp.exp(logp - old_logp)
-        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if axis_name is None:
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        else:
+            # global-minibatch moments from equal-sized local shards: the
+            # pmean of local means IS the global mean, and the global std
+            # comes from pmean'd second moments — same normalization the
+            # single-device path applies to the full minibatch
+            gm = jax.lax.pmean(adv.mean(), axis_name)
+            gsq = jax.lax.pmean(jnp.square(adv).mean(), axis_name)
+            adv_n = (adv - gm) / (jnp.sqrt(jnp.maximum(gsq - gm * gm, 0.0))
+                                  + 1e-8)
         pg1 = ratio * adv_n
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
         pg_loss = -jnp.minimum(pg1, pg2).mean()
@@ -127,6 +147,12 @@ def make_ppo_core(cfg: PPOConfig, model, bc_data=None):
                     lambda x: x[idx],
                     (obs, action, logp, adv, target))
                 grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, *sl)
+                if axis_name is not None:
+                    # the ONE cross-device collective of the update: average
+                    # the per-shard gradients; every device then applies the
+                    # identical step to its replicated optimizer state
+                    grads = jax.lax.pmean(grads, axis_name)
+                    aux = jax.lax.pmean(aux, axis_name)
                 return ts.apply_gradients(grads=grads), aux
 
             idxs = perm[:mb * cfg.num_minibatches].reshape(
@@ -172,6 +198,17 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
     B, T = cfg.num_envs, cfg.rollout_steps
     batch_shard = (NamedSharding(mesh, P("env")) if mesh is not None else None)
 
+    if mesh is not None:
+        # pallas_call outputs / pmean'd-update outputs carry no
+        # varying-mesh-axes metadata, so the replication check must be off
+        import functools
+        try:
+            from jax import shard_map as _sm
+            _shard_map = functools.partial(_sm, check_vma=False)
+        except ImportError:      # older jax
+            from jax.experimental.shard_map import shard_map as _sme
+            _shard_map = functools.partial(_sme, check_rep=False)
+
     assert rollout_backend in ("auto", "xla", "pallas"), rollout_backend
     use_pallas = False
     if rollout_backend != "xla":
@@ -216,7 +253,11 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         k_act, k_reset = jax.random.split(key)
         logits, value = model.apply(params, obs.astype(jnp.float32))
         action = jax.random.categorical(k_act, logits)
-        logp = jax.nn.log_softmax(logits)[jnp.arange(B), action]
+        # take_along_axis (row-local, axis=1) instead of [arange(B), action]:
+        # the advanced-index form gathers over the SHARDED batch axis and
+        # makes XLA all-gather an index pair every rollout step under a mesh
+        logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                   action[:, None], axis=1)[:, 0]
         # vec handles the episode cap (done for GAE) and returns the reset
         # obs at boundaries (reset_obs=True above)
         env_state, next_obs, reward, done, info = vec.step(
@@ -241,59 +282,82 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
 
         n_dev = 1 if mesh is None else mesh.size
         B_loc = B // n_dev
+        # Specs with reset edits / wall-coin / tap pre-placement use the
+        # POOL reset source: boundary resets draw from a per-launch pool of
+        # fresh XLA resets (ngx.core.reset) instead of replicating the
+        # percent-fill machinery in-kernel — replicating it is what pushed
+        # those specs over the (256, 16) Mosaic compile cliff in round 4
+        # (docs/MOSAIC_BUGS.md), locking the reference's train-under-novelty
+        # scenario (tests/train.py:73-89) out of the fast config.  With the
+        # reset outside the kernel every spec shares one step-body size, so
+        # one block/t_chunk frontier serves all.
+        plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
+                       and not spec.reset_place_tap)
+        reset_source = "native" if plain_reset else "pool"
         # measured block/t_chunk frontier (docs/PERF.md): block 256 needs
         # t_chunk<=16 to fit VMEM/compile and wins 1.4x on acting (5.66M vs
         # 3.98M at T=64); block 128 with t_chunk 64 is the safe config for
         # everything else (long T, odd batches).  T must strictly exceed the
         # chunk for block 256 — at T<=16 the grid collapses to the (256, 1D)
         # shape that crashes the Mosaic compile helper (CLAUDE.md cliffs).
-        # Specs with reset edits / wall-coin / tap pre-placement carry a
-        # bigger in-kernel reset (bisection subset selection), which pushes
-        # (256, 16) over the same compile cliff (measured on-chip, round 4)
-        # — those stay on the 128-block config.
-        plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
-                       and not spec.reset_place_tap)
-        if (plain_reset and B_loc % 256 == 0 and T % 16 == 0
-                and 32 <= T <= 128):
+        if B_loc % 256 == 0 and T % 16 == 0 and 32 <= T <= 128:
             blk, tck = 256, 16
         else:
             blk, tck = 128, 64
+        # pool slots: expected in-rollout resets per env is T/mean-episode-
+        # length; slots cycle beyond that (documented reuse).  4 covers the
+        # trainer shapes (T<=64, episodes >=~10 steps under any policy that
+        # survives); the pool costs B*slots vmapped XLA resets per launch.
         run_roll = make_pallas_train_rollout(
             spec, B_loc, T, block=blk, t_chunk=tck, cap=cfg.episode_cap,
-            hidden=tuple(cfg.hidden))
+            hidden=tuple(cfg.hidden), reset_source=reset_source,
+            pool_slots=4)
         get_obs_v = jax.vmap(make_step(spec).get_obs)
+        if reset_source == "pool":
+            from ..ops.pallas_rollout import make_xla_pool_reset
+            Rp = run_roll.pool_slots
+            pool_gen = make_xla_pool_reset(spec, B * Rp)
 
         if mesh is not None:
             # each device runs the kernel on ITS shard of the env batch:
             # shard_map over the env axis, params replicated, per-device
             # seed decorrelated by axis index (the kernel already
             # decorrelates per env-block within a shard)
-            import functools
-            try:
-                # pallas_call outputs carry no varying-mesh-axes metadata, so
-                # the new-API replication check must be off
-                from jax import shard_map as _sm
-                shard_map = functools.partial(_sm, check_vma=False)
-            except ImportError:      # older jax
-                from jax.experimental.shard_map import shard_map as _sme
-                shard_map = functools.partial(_sme, check_rep=False)
+            shard_map = _shard_map
             from ..core.state import EnvState as _ES
 
             state_spec = jax.tree_util.tree_map(lambda _: P("env"),
                                                 _ES(*([0] * 10)))
 
-            def _sharded(seed, st, pp):
-                local = run_roll(
-                    seed + jax.lax.axis_index("env") * jnp.int32(612331),
-                    st, pp)
-                return local
+            if reset_source == "pool":
+                def _sharded(seed, st, pp, pool, base):
+                    return run_roll(
+                        seed + jax.lax.axis_index("env") * jnp.int32(612331),
+                        st, pp, pool, base)
 
-            def run_roll_mesh(seed, st, pp):
-                return shard_map(
-                    _sharded, mesh=mesh,
-                    in_specs=(P(), state_spec, P()),
-                    out_specs=(state_spec, P(None, "env"), P(None, "env"),
-                               P(None, "env"), P(None, "env")))(seed, st, pp)
+                def run_roll_mesh(seed, st, pp, pool, base):
+                    return shard_map(
+                        _sharded, mesh=mesh,
+                        in_specs=(P(), state_spec, P(), state_spec,
+                                  P("env")),
+                        out_specs=(state_spec, P(None, "env"),
+                                   P(None, "env"), P(None, "env"),
+                                   P(None, "env"), P("env")))(
+                        seed, st, pp, pool, base)
+            else:
+                def _sharded(seed, st, pp):
+                    local = run_roll(
+                        seed + jax.lax.axis_index("env") * jnp.int32(612331),
+                        st, pp)
+                    return local
+
+                def run_roll_mesh(seed, st, pp):
+                    return shard_map(
+                        _sharded, mesh=mesh,
+                        in_specs=(P(), state_spec, P()),
+                        out_specs=(state_spec, P(None, "env"),
+                                   P(None, "env"), P(None, "env"),
+                                   P(None, "env")))(seed, st, pp)
         else:
             run_roll_mesh = run_roll
 
@@ -301,24 +365,71 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
             # the kernel recomputes obs from state in-kernel (bit-identical
             # to the carried obs — tests/test_pallas.py); actions come from
             # the kernel's counter RNG seeded from this step's key
-            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-            env_state, obs_t, action, reward, done = run_roll_mesh(
-                seed, env_state, params)
+            if reset_source == "pool":
+                k_seed, k_pool = jax.random.split(key)
+                seed = jax.random.randint(k_seed, (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+                # a fresh pool of B*Rp procedural resets per launch — the
+                # kernel's boundary resets draw slot (reset#) % Rp
+                pool = pool_gen(jax.random.randint(
+                    k_pool, (), 0, jnp.iinfo(jnp.int32).max))
+                pool = jax.tree_util.tree_map(
+                    lambda x: x.reshape((B, Rp) + x.shape[1:]), pool)
+                env_state, obs_t, action, reward, done, _ = run_roll_mesh(
+                    seed, env_state, params, pool,
+                    jnp.zeros((B,), jnp.int32))
+            else:
+                seed = jax.random.randint(key, (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+                env_state, obs_t, action, reward, done = run_roll_mesh(
+                    seed, env_state, params)
             # logp/value in ONE batched MXU pass over the emitted obs —
-            # exactly the update's recompute path, so ratio==1 at step 0
-            logits, value = model.apply(
-                params, obs_t.reshape(T * B, -1))
-            logp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits),
-                action.reshape(T * B)[:, None], axis=1)[:, 0].reshape(T, B)
-            traj = (obs_t, action, logp, value.reshape(T, B), reward, done)
+            # exactly the update's recompute path, so ratio==1 at step 0.
+            # Applied in [T, B, ...] layout: reshaping to (T*B, ...) merges
+            # the sharded env axis and would force an all-gather of the
+            # whole trajectory under a mesh (the HLO-audit finding).
+            logits, value = model.apply(params, obs_t)
+            logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                       action[..., None], axis=-1)[..., 0]
+            traj = (obs_t, action, logp, value, reward, done)
             return env_state, get_obs_v(env_state), traj
 
         rollout = rollout_pallas
     else:
         rollout = rollout_xla
 
-    gae, update = make_ppo_core(cfg, model, bc_data=bc_data)
+    if mesh is None:
+        gae, update = make_ppo_core(cfg, model, bc_data=bc_data)
+
+        def run_update(ts, traj5, key):
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((T * B,) + x.shape[2:]), traj5)
+            return update(ts, flat, key)
+    else:
+        # SHARD-LOCAL update (see make_ppo_core's axis_name note): each
+        # device flattens/permutes/minibatches its OWN trajectory shard;
+        # the only collectives are the per-minibatch gradient pmean and the
+        # scalar advantage moments — verified structurally by
+        # tests/test_distributed.py::test_hlo_audit_train_step_*.
+        gae, update = make_ppo_core(cfg, model, bc_data=bc_data,
+                                    axis_name="env")
+        B_upd = B // mesh.size
+
+        def _upd_local(ts, traj5, key):
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((T * B_upd,) + x.shape[2:]), traj5)
+            key = jax.random.fold_in(key, jax.lax.axis_index("env"))
+            return update(ts, flat, key)
+
+        _traj5_specs = (P(None, "env", None), P(None, "env"),
+                        P(None, "env"), P(None, "env"), P(None, "env"))
+        _upd_sharded = _shard_map(
+            _upd_local, mesh=mesh,
+            in_specs=(P(), _traj5_specs, P()),
+            out_specs=(P(), P()))
+
+        def run_update(ts, traj5, key):
+            return _upd_sharded(ts, traj5, key)
 
     def train_step(carry, key):
         ts, env_state, obs, ep_ret = carry
@@ -374,10 +485,8 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
                  jnp.int32(0), jnp.int32(0)),
                 (reward, done))
 
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((T * B,) + x.shape[2:]),
-            (obs_t, action, logp, adv, target))
-        ts, (pg, vl, ent) = update(ts, flat, k_upd)
+        ts, (pg, vl, ent) = run_update(
+            ts, (obs_t, action, logp, adv, target), k_upd)
         metrics = {
             "mean_reward": reward.mean(),
             "episodes": done.sum(),

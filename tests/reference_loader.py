@@ -107,6 +107,11 @@ def snapshot_state(ref_env, spec):
     sel = getattr(base, "selected_item", "")
     if sel:
         selected = spec.items.index(sel)
+    # last_action is a string in the reference ('Craft_plank'); map it by
+    # name (0 when unset or unknown — the reference initializes it to 0)
+    la = getattr(base, "last_action", 0)
+    if isinstance(la, str):
+        la = spec.actions_id.get(la, 0)
     return state_from_numpy(
         spec,
         map_arr=base.map,
@@ -115,6 +120,8 @@ def snapshot_state(ref_env, spec):
         inventory=inv,
         selected=selected,
         step_count=getattr(base, "step_count", 0),
+        last_action=la,
+        last_reward=getattr(base, "last_reward", 0.0),
         last_done=getattr(base, "last_done", False),
     )
 

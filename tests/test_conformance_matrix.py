@@ -50,7 +50,8 @@ POOL = [
 ]
 
 ENVS = ["NovelGridworld-Bow-v0", "NovelGridworld-Bow-v1",
-        "NovelGridworld-Pogostick-v1"]
+        "NovelGridworld-Pogostick-v1", "NovelGridworld-Pogostick-v0",
+        "NovelGridworld-v6"]
 
 # actions a novelty asserts must survive limiting on EVERY step
 # (novelty_wrappers.py:39-43,262-268,677-683,912-914,1079-1081,1282-1284,
@@ -62,6 +63,11 @@ _BASE_LIMIT = {
                               "Craft_bow", "Craft_plank", "Extract_string"},
     "NovelGridworld-Pogostick-v1": {"Forward", "Left", "Right", "Break",
                                     "Craft_plank", "Select_tree_log"},
+    "NovelGridworld-Pogostick-v0": {"Forward", "Left", "Right", "Break",
+                                    "Craft_plank", "Select_tree_log",
+                                    "Extract_rubber"},
+    "NovelGridworld-v6": {"Forward", "Left", "Right", "Break",
+                          "Craft_plank", "Select_tree_log"},
 }
 
 
@@ -97,11 +103,44 @@ def _required_actions(nov):
     return req
 
 
+# v6 predates the set_lasts bookkeeping hook (only Bow-v0/v1 and
+# Pogostick-v0/v1 define it): every step-overriding novelty (axe families,
+# addchop/addjump, breakincrease, fencerestriction, firewall, extractincdec)
+# raises AttributeError on v6 in the REFERENCE — deprecated-env dead code,
+# documented in docs/PARITY.md.  Only reset-only novelties + remapaction are
+# reachable.
+_V6_SAFE = {"fence", "additem", "replaceitem", "crate", "remapaction"}
+
+
 def _legal(env_id, stack):
     added = set()
+    wall_replaced = False
+    action_added = False
     for nov in stack:
         if nov[0] == "extractincdec" and env_id != "NovelGridworld-Bow-v1":
             return False
+        if nov[0] == "extractincdec" and action_added:
+            # reference crash class: ExtractIncDec reverse-looks-up EVERY
+            # action id in its own view of actions_id
+            # (novelty_wrappers.py:1515), which excludes ids appended by a
+            # lower action-adding novelty (Chop/Jump/Craft_axe) ->
+            # ValueError when that id is played; probabilistic, untestable
+            return False
+        if (nov[0] in ("addchop", "addjump")
+                or (nov[0] in ("axe", "axetobreak") and nov[1] == "hard")):
+            action_added = True
+        if env_id == "NovelGridworld-v6" and nov[0] not in _V6_SAFE:
+            return False          # reference crash: v6 has no set_lasts
+        if nov[0] in ("fence", "fencerestriction") and wall_replaced:
+            # reference crash class: a wall-replacing novelty (firewall /
+            # replaceitem-from-wall) makes BORDER cells fence-eligible, and
+            # add_fence_around indexes r±1/c±1 unguarded -> IndexError
+            # (novelty_wrappers.py:880-883 + pogostick_v1_env.py:524-536);
+            # probabilistic in the reference, so the stack is untestable
+            return False
+        if nov[0] == "firewall" or (nov[0] == "replaceitem"
+                                    and nov[2] == "wall"):
+            wall_replaced = True
         if nov[0] == "breakincrease" and len(nov) > 2 and nov[2]:
             if nov[2] == "tree_log" and "Bow-v0" in env_id:
                 return False      # Bow-v0 has no tree_log
@@ -114,7 +153,7 @@ def _legal(env_id, stack):
     return True
 
 
-def _generate(n_target=40, seed=0):
+def _generate(n_target=60, seed=0):
     rng = random.Random(seed)
     combos = []
     seen = set()
@@ -135,8 +174,34 @@ def _generate(n_target=40, seed=0):
     return combos
 
 
-MATRIX = _generate()
-assert sum(1 for _, s in MATRIX if len(s) == 3) >= 10
+# Forced stacks: reset-edit novelties OVER Pogostick-v0 — the one env whose
+# BASE reset already pre-places a tree_tap via a rejection loop
+# (pogostick_v0_env.py:155-178), so the percent-fill reset edits
+# (novelty_wrappers.py:868-889,1013-1034,1126-1148) draw AFTER the tap
+# placement; the mirror must replay exactly that draw ordering.
+_FORCED = [
+    ("NovelGridworld-Pogostick-v0", [("fence", "hard", "jungle")]),
+    ("NovelGridworld-Pogostick-v0", [("additem", "hard", "brick")]),
+    ("NovelGridworld-Pogostick-v0",
+     [("replaceitem", "hard", "wall", "spring")]),
+    ("NovelGridworld-Pogostick-v0", [("firewall", "medium")]),
+    ("NovelGridworld-Pogostick-v0",
+     [("fence", "easy", "oak"), ("additem", "easy", "spring")]),
+    ("NovelGridworld-Pogostick-v0",
+     [("axe", "easy", "wooden"), ("replaceitem", "medium", "wall", "brick"),
+      ("crate", "medium")]),
+    # v6 only reaches reset-only novelties + remapaction (see _V6_SAFE)
+    ("NovelGridworld-v6",
+     [("fence", "easy", "oak"), ("additem", "easy", "spring")]),
+    ("NovelGridworld-v6",
+     [("replaceitem", "medium", "wall", "brick"), ("crate", "medium")]),
+]
+
+MATRIX = _generate() + _FORCED
+assert sum(1 for _, s in MATRIX if len(s) == 3) >= 15
+assert sum(1 for e, _ in MATRIX
+           if e == "NovelGridworld-Pogostick-v0") >= 10
+assert sum(1 for e, _ in MATRIX if e == "NovelGridworld-v6") >= 10
 
 
 @pytest.mark.parametrize(

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import jax
+import numpy as np
 import pytest
 
 import ngx
@@ -93,3 +94,117 @@ def test_scaling_harness_small():
                         hidden=(16, 16))
     assert r["throughput"][1] > 0 and r["throughput"][2] > 0
     assert r["efficiency"][2] > 0.3, r
+
+
+# ---------------------------------------------------------------------------
+# Compiled-HLO collective audit (structural multi-chip evidence): real
+# multi-chip efficiency can't be measured on this one-chip host, so prove the
+# sharding layout structurally — the env path compiles to ZERO inter-device
+# collectives and the train step's only cross-device traffic is the gradient
+# all-reduce plus scalar metric/normalization psums.
+# ---------------------------------------------------------------------------
+
+_COLLECTIVE_KINDS = ("all-reduce", "all-gather", "all-to-all",
+                     "collective-permute", "reduce-scatter",
+                     "collective-broadcast", "ragged-all-to-all")
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+
+
+def _collective_instrs(hlo_text):
+    """Parse (kind, nbytes, line) for every collective instruction in
+    post-optimization HLO.  Bytes = the op's result tuple payload."""
+    import re
+
+    out = []
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        m = re.match(r"(?:ROOT\s+)?%?\S+\s*=\s*(.+?)\s+"
+                     r"(" + "|".join(_COLLECTIVE_KINDS) + r")(?:-start)?\(",
+                     ls)
+        if not m:
+            continue
+        shapes, kind = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shapes):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        out.append((kind, nbytes, ls[:160]))
+    return out
+
+
+def test_hlo_audit_env_path_has_no_collectives():
+    """The sharded SPMD env rollout must compile to exactly the two scalar
+    metric psums (all-reduce of one f32 + one s32) and NOTHING else — no
+    all-gather/permute/all-to-all of env state anywhere.  This is the
+    structural form of the >=80% scaling claim: stepping is elementwise
+    along the env axis, so adding chips adds zero communication."""
+    spec = ngx.make_spec("NovelGridworld-Pogostick-v1")
+    mesh = make_env_mesh()
+    launch = make_spmd_rollout(spec, mesh, BATCH, STEPS)
+    hlo = jax.jit(launch).lower(jax.random.key(0)).compile().as_text()
+    cols = _collective_instrs(hlo)
+    kinds = {k for k, _, _ in cols}
+    assert kinds <= {"all-reduce"}, cols
+    total = sum(b for _, b, _ in cols)
+    # two replicated scalars (f32 mean-reward sum + s32 episode count);
+    # XLA may emit each as a tuple all-reduce or fuse them
+    assert total <= 16, cols
+    print(f"\nenv-path collectives: {len(cols)} all-reduces, "
+          f"{total} bytes total (scalar metrics only)")
+
+
+def test_hlo_audit_train_step_gradient_allreduce_only():
+    """The full sharded PPO train step: every collective must be an
+    all-reduce, and they partition into (a) the gradient sync — per-leaf or
+    fused, each <= the policy+value parameter payload — and (b) scalar
+    psums (advantage normalization moments, metric means).  No env-state
+    collective (all-gather / permute / reduce-scatter) may appear: the
+    rollout stays shard-local under the mesh.  Reports the bytes moved per
+    update for docs/PERF.md."""
+    from jax.sharding import Mesh
+    from ngx.rl.train import PPOConfig, make_train
+
+    mesh = Mesh(np.asarray(jax.devices()), ("env",))
+    cfg = PPOConfig(num_envs=8 * 16, rollout_steps=8, num_minibatches=2,
+                    epochs=2, hidden=(64, 64))
+    with mesh:
+        init, train_step = make_train(cfg, mesh)
+        carry = init(jax.random.key(0))
+        hlo = jax.jit(train_step).lower(
+            carry, jax.random.key(1)).compile().as_text()
+    cols = _collective_instrs(hlo)
+    kinds = {k for k, _, _ in cols}
+    assert kinds == {"all-reduce"}, sorted(kinds)
+
+    params_bytes = sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(carry[0].params))
+    grad_ars = [c for c in cols if c[1] > 1024]
+    small_ars = [c for c in cols if c[1] <= 1024]
+    # the gradient sync: every big all-reduce carries (a fusion of) grad
+    # leaves, bounded by the parameter payload; at least one must exist
+    assert grad_ars, cols
+    assert all(b <= params_bytes for _, b, _ in grad_ars), (
+        params_bytes, grad_ars)
+    grad_total = sum(b for _, b, _ in grad_ars)
+    assert grad_total <= 2 * params_bytes, (grad_total, params_bytes)
+    # everything else is scalar/near-scalar statistics (adv moments, metric
+    # means) — nothing remotely env-state-sized
+    state_bytes = sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(carry[1]))
+    assert all(b < state_bytes // 100 for _, b, _ in small_ars), small_ars
+    per_update = (grad_total * cfg.epochs * cfg.num_minibatches
+                  + sum(b for _, b, _ in small_ars))
+    print(f"\ntrain-step collectives: {len(grad_ars)} gradient all-reduce "
+          f"instr(s) totalling {grad_total} bytes (params = {params_bytes} "
+          f"B), {len(small_ars)} scalar psums; approx bytes/update = "
+          f"{per_update} ({cfg.epochs}x{cfg.num_minibatches} minibatch "
+          f"syncs)")

@@ -381,3 +381,91 @@ def test_train_step_pallas_backend_mesh():
         carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
         m = {k: float(v) for k, v in metrics.items()}
         assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
+
+
+def test_pallas_train_rollout_pool_reset():
+    """reset_source='pool': episode-boundary restores must take EXACTLY the
+    caller-provided pool rows, cycling slot (reset# % pool_slots) per env,
+    with selected=-1/last_action=0 and base=pool step_count (the chain
+    restore surface + the fast-config path for novelty-injected specs)."""
+    from ngx.core.reset import make_reset
+    from ngx.ops.pallas_rollout import make_pallas_train_rollout
+    from ngx.rl.models import ActorCritic
+    from ngx.transforms import lidar_in_front
+
+    spec = lidar_in_front(
+        ngx.inject_novelty(ngx.make_spec(POGO), "firewall", "easy"))
+    B, T, R, CAP = 128, 15, 4, 5       # cap-dones land at t=4,9,14=T-1
+    run = make_pallas_train_rollout(spec, B, T, block=128, cap=CAP,
+                                    hidden=(16, 16), reset_source="pool",
+                                    pool_slots=R, interpret=True)
+    model = ActorCritic(n_actions=spec.n_actions, hidden=(16, 16))
+    vreset = jax.jit(jax.vmap(make_reset(spec)))
+    state, _ = vreset(jax.random.split(jax.random.key(0), B))
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, run.obs_dim), jnp.float32))
+    pool, _ = vreset(jax.random.split(jax.random.key(2), B * R))
+    pool = jax.tree_util.tree_map(
+        lambda x: x.reshape((B, R) + x.shape[1:]), pool)
+    st2, obs_t, act, rew, done, base = jax.jit(
+        lambda s, st, p, pl, b: run(s, st, p, pl, b))(
+        7, state, params, pool, jnp.zeros((B,), jnp.int32))
+    done = np.asarray(done)
+    nd = done.sum(0)
+    # every env hits the 5-step cap three times; the last restore is at the
+    # final step, so the emitted final state IS the selected pool row
+    assert (done[14]).all(), done[14]
+    pm, pinv = np.asarray(pool.map), np.asarray(pool.inventory)
+    for b in range(B):
+        slot = (nd[b] - 1) % R
+        np.testing.assert_array_equal(np.asarray(st2.map)[b], pm[b, slot])
+        np.testing.assert_array_equal(np.asarray(st2.inventory)[b],
+                                      pinv[b, slot])
+        assert np.asarray(st2.agent)[b, 0] == np.asarray(
+            pool.agent)[b, slot, 0]
+        assert np.asarray(st2.facing)[b] == np.asarray(pool.facing)[b, slot]
+        assert np.asarray(st2.selected)[b] == -1
+        assert np.asarray(st2.last_action)[b] == 0
+        assert np.asarray(base)[b] == np.asarray(pool.step_count)[b, slot]
+
+
+def test_train_step_pallas_pool_novelty_spec():
+    """make_train routes novelty-injected specs (reset edits) through the
+    pool reset source automatically; a full train step completes with
+    episode boundaries crossed."""
+    from ngx.rl.train import PPOConfig, make_train
+
+    spec = ngx.inject_novelty(ngx.make_spec(POGO), "fence", "medium", "oak")
+    cfg = PPOConfig(num_envs=128, rollout_steps=12, num_minibatches=2,
+                    epochs=1, hidden=(16, 16), episode_cap=8)
+    init, train_step = make_train(cfg, spec_override=spec,
+                                  rollout_backend="pallas")
+    carry = init(jax.random.key(0))
+    carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
+    assert m["episodes"] >= cfg.num_envs, m   # 8-step cap inside T=12
+    carry, m2 = jax.jit(train_step)(carry, jax.random.key(2))
+    assert np.isfinite(float(m2["pg_loss"]))
+
+
+def test_train_step_pallas_pool_mesh():
+    """The pool reset source under shard_map over an 8-device mesh: pool and
+    base shard along the env axis with the state."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from ngx.rl.train import PPOConfig, make_train
+
+    spec = ngx.inject_novelty(ngx.make_spec(POGO), "firewall", "easy")
+    mesh = Mesh(_np.asarray(jax.devices()[:8]), ("env",))
+    cfg = PPOConfig(num_envs=8 * 128, rollout_steps=6, num_minibatches=2,
+                    epochs=1, hidden=(16, 16), episode_cap=4)
+    with mesh:
+        init, train_step = make_train(cfg, mesh, spec_override=spec,
+                                      rollout_backend="pallas")
+        carry = init(jax.random.key(0))
+        assert len(carry[1].map.sharding.device_set) == 8
+        carry, metrics = jax.jit(train_step)(carry, jax.random.key(1))
+        m = {k: float(v) for k, v in metrics.items()}
+        assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
+        assert m["episodes"] >= cfg.num_envs, m
