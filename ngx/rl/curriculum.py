@@ -18,9 +18,11 @@ batched and jitted:
   first done (the reference's per-stage 100-step episode), adapt, repeat —
   one jitted function from key to the last stage's restored state batch.
 * :func:`make_train_chain` — PPO on the last stage where every episode
-  boundary restores a fresh chain-terminal state drawn from a pool that is
-  re-chained every update (the reference re-runs its chain once per outer
-  episode / ``learn(500)`` — same refresh granularity, B states at a time).
+  boundary restores a fresh chain-terminal state drawn from a carried pool
+  of chain states, re-chained per LAUNCH via ``train_step.refresh_pool``
+  (the reference re-runs its chain once per outer episode / ``learn(500)``
+  — coarser than per launch); both acting backends supported, the fused
+  Pallas kernel restoring pool rows in-kernel.
 """
 
 from __future__ import annotations
@@ -161,9 +163,10 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
     """Evaluate a chain-trained LAST-stage policy under the protocol it was
     trained for (the reference's, ``train_last_agent.py:95-117``): play the
     earlier stages with their frozen policies, restore into the last env,
-    then roll the final policy from the restored states for the REMAINDER
-    of the step budget (restored states inherit ``step_count``).  Solved =
-    done before the cap with a positive terminal reward."""
+    then roll the final policy from the restored states for a fresh
+    ``cap``-step budget (the reference gives EACH chained env its own
+    <=100-step loop, enjoy.py:87,107).  Solved = done within the budget
+    with a positive terminal reward."""
     import jax.numpy as jnp
 
     chain, spec = make_chain_reset(env_ids, stage_params, episodes, cap,
@@ -217,7 +220,8 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
 
 def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
                      stage_params: Sequence, hidden=None,
-                     rollout_backend: str = "auto", bc_data=None):
+                     rollout_backend: str = "auto", bc_data=None,
+                     pool_size: int = None):
     """(init, train_step) for PPO on the LAST env of ``env_ids``, where
     every reset — initial and at episode boundaries — restores a fresh
     chain-terminal state (reference semantics: the trained env's reset IS
@@ -241,10 +245,17 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
     reference re-chains once per outer ``learn(500)``
     (train_last_agent.py:95-117), i.e. far LESS often than per update; an
     in-jit per-update re-chain would also dominate the step (the chain is
-    a cap-length frozen-stage scan, several rollouts' worth of stepping)."""
+    a cap-length frozen-stage scan, several rollouts' worth of stepping).
+
+    ``pool_size`` (default min(B, 1024)): distinct chain-terminal states
+    per refresh.  Restores draw WITH replacement, so the pool can be far
+    smaller than the env batch — the reference trains every episode from
+    ONE chain state (train_last_agent.py:77-87); 1024 fresh states per
+    launch is orders more diversity at a quarter of the re-chain cost."""
     hidden = tuple(hidden or cfg.hidden)
     B, T = cfg.num_envs, cfg.rollout_steps
-    chain, spec = make_chain_reset(env_ids, stage_params, B,
+    P = pool_size or min(B, 1024)
+    chain, spec = make_chain_reset(env_ids, stage_params, P,
                                    cap=cfg.episode_cap, hidden=hidden)
     step1 = make_step(spec)
     v_step = jax.vmap(step1)
@@ -269,8 +280,11 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
             hidden=hidden, reset_source="pool", pool_slots=R)
 
     def init(key):
-        k_env, k_net = jax.random.split(key)
-        env_state, obs = jax.jit(chain)(k_env)
+        k_env, k_net, k_idx = jax.random.split(key, 3)
+        pool, pool_obs = jax.jit(chain)(k_env)
+        idx = jax.random.randint(k_idx, (B,), 0, P)
+        env_state = jax.tree_util.tree_map(lambda x: x[idx], pool)
+        obs = pool_obs[idx]
         params = model.init(k_net, jnp.zeros_like(obs, jnp.float32))
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -283,10 +297,10 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
         # limit at all) — counting the inherited TOTAL step_count against
         # the cap would make pool rows whose prior stages consumed >= cap
         # steps instantly done forever (zero-length episode churn).
-        # The initial pool IS the initial state batch (both are fresh
-        # chain-terminal states); refresh_pool replaces it.
+        # initial state batch = B with-replacement draws from the fresh
+        # P-row chain pool; refresh_pool replaces the pool itself.
         return (ts, env_state, obs, jnp.zeros((B,), jnp.float32),
-                env_state.step_count, env_state, obs)
+                env_state.step_count, pool, pool_obs)
 
     def rollout(params, env_state, obs, base, pool, pool_obs, key):
         def body(carry, key_t):
@@ -298,7 +312,7 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
                                        action[:, None], axis=1)[:, 0]
             ns, nobs, reward, done, _ = v_step(env_state, action)
             done = done | (ns.step_count - base >= cfg.episode_cap)
-            idx = jax.random.randint(k_pool, (B,), 0, B)
+            idx = jax.random.randint(k_pool, (B,), 0, P)
             fresh = jax.tree_util.tree_map(lambda x: x[idx], pool)
 
             def mrg(f, n):
@@ -323,7 +337,7 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
                                       jnp.iinfo(jnp.int32).max)
             # expand the B-row chain pool to R iid row draws per env (the
             # XLA path's uniform pool pick, pre-gathered outside the kernel)
-            idx = jax.random.randint(k_idx, (B, R), 0, B)
+            idx = jax.random.randint(k_idx, (B, R), 0, P)
             poolR = jax.tree_util.tree_map(lambda x: x[idx], pool)
             env_state, obs_t, action, reward, done, base = run_roll(
                 seed, env_state, params, poolR, base)

@@ -294,12 +294,12 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
                        and not spec.reset_place_tap)
         reset_source = "native" if plain_reset else "pool"
-        # measured block/t_chunk frontier (docs/PERF.md): block 256 needs
-        # t_chunk<=16 to fit VMEM/compile and wins 1.4x on acting (5.66M vs
-        # 3.98M at T=64); block 128 with t_chunk 64 is the safe config for
-        # everything else (long T, odd batches).  T must strictly exceed the
-        # chunk for block 256 — at T<=16 the grid collapses to the (256, 1D)
-        # shape that crashes the Mosaic compile helper (CLAUDE.md cliffs).
+        # measured block/t_chunk frontier (docs/PERF.md round-5 table):
+        # (256, 16) is measured-best (5.6M acting at T=64); 128/64 covers
+        # the remaining shapes (long T, odd batches).  Since the scoped-VMEM
+        # fix (docs/MOSAIC_BUGS.md) every config COMPILES — this pick is a
+        # measured preference, not a crash boundary: 256/1D 5.48M, 256/32
+        # 5.47M, 512/* 5.2-5.4M all work and all lose a few % to (256, 16).
         if B_loc % 256 == 0 and T % 16 == 0 and 32 <= T <= 128:
             blk, tck = 256, 16
         else:
