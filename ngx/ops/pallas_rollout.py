@@ -1037,9 +1037,14 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
     # slower Mosaic compile (~8min vs ~10s, same runtime throughput), so it
     # engages ONLY when T > t_chunk; the common trainer shape (T<=64) keeps
     # the fast 1D grid.
-    # largest divisor of T that fits the chunk budget (always exists: 1) —
-    # odd rollout lengths like T=100 chunk at 50 rather than asserting
-    TC = max(d for d in range(1, min(T, t_chunk) + 1) if T % d == 0)
+    # largest divisor of T that fits the chunk budget AND satisfies the
+    # Pallas block constraint (the trajectory out-block's leading dim must
+    # be divisible by 8 or equal T itself — chip-verified: TC=50 for T=100
+    # is rejected by the lowering); lengths with no such divisor fall back
+    # to the 1-D full-T grid, which always satisfies it
+    _cands = [d for d in range(1, min(T, t_chunk) + 1)
+              if T % d == 0 and d % 8 == 0]
+    TC = max(_cands) if _cands else T
     nTC = T // TC
     TWO_D = nTC > 1
 

@@ -294,14 +294,17 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
                        and not spec.reset_place_tap)
         reset_source = "native" if plain_reset else "pool"
-        # measured block/t_chunk frontier (docs/PERF.md round-5 table):
-        # (256, 16) is measured-best (5.6M acting at T=64); 128/64 covers
-        # the remaining shapes (long T, odd batches).  Since the scoped-VMEM
-        # fix (docs/MOSAIC_BUGS.md) every config COMPILES — this pick is a
-        # measured preference, not a crash boundary: 256/1D 5.48M, 256/32
-        # 5.47M, 512/* 5.2-5.4M all work and all lose a few % to (256, 16).
-        if B_loc % 256 == 0 and T % 16 == 0 and 32 <= T <= 128:
-            blk, tck = 256, 16
+        # measured block/t_chunk frontier (docs/PERF.md round-5 tables):
+        # block 256 wins at every shape once the batch allows it — (256, 16)
+        # at the trainer sweet spot T in [32, 128] (5.62M at T=64), (256, 64)
+        # for long rollouts (7.16M at T=256, 1.5x the old 128-block number).
+        # Since the scoped-VMEM fix (docs/MOSAIC_BUGS.md) every config
+        # COMPILES — this pick is a measured preference, not a crash
+        # boundary: 256/1D 5.48M, 256/32 5.47M, 512/* 5.2-6.6M all work and
+        # all lose a few % to the picks below.
+        if B_loc % 256 == 0:
+            blk = 256
+            tck = 16 if (T % 16 == 0 and 32 <= T <= 128) else 64
         else:
             blk, tck = 128, 64
         # pool slots: expected in-rollout resets per env is T/mean-episode-

@@ -74,7 +74,16 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
     env = _ngx_stack(env_id, limited, num_beams, novelty)
 
     np.random.seed(seed + 1)
-    ref_obs = ref.reset()
+    try:
+        ref_obs = ref.reset()
+    except AssertionError as e:
+        # reference capacity crash: the reset rejection loop pops tried
+        # locations regardless of validity and asserts when the list
+        # empties (pogostick_v0_env.py:191) — probabilistic on item-heavy
+        # stacks; no comparable episode exists for this seed
+        assert "increase map size" in str(e), e
+        pytest.skip(f"reference reset capacity crash ({env_id}, seed "
+                    f"{seed}): {e}")
     np.random.seed(seed + 1)
     obs = env.reset()
     assert_obs_equal(obs, ref_obs, "reset")
@@ -106,7 +115,18 @@ def drive(env_id, limited, novelty, seed, n_steps=250, num_beams=8):
                 f"message {i['message']!r} != {ri['message']!r} at {t}"
         if rd:
             np.random.seed(seed + 1000 + t)
-            ref_obs = ref.reset()
+            try:
+                ref_obs = ref.reset()
+            except AssertionError as e:
+                # the reference's reset rejection loop pops tried locations
+                # REGARDLESS of validity and asserts when the list empties
+                # ("Cannot place items, increase map size!",
+                # pogostick_v0_env.py:191) — probabilistic capacity crash on
+                # item-heavy stacks; the comparable action stream ends here
+                # (ngx's reset skips unplaceable items by design,
+                # docs/PARITY.md deviations)
+                assert "increase map size" in str(e), e
+                return
             np.random.seed(seed + 1000 + t)
             obs = env.reset()
             assert_obs_equal(obs, ref_obs, f"re-reset at {t}")
@@ -590,7 +610,18 @@ def _drive_extractincdec_direct(env_id, incdec, seed, n_steps=300):
             extracted += 1
         if rd:
             np.random.seed(seed + 1000 + t)
-            ref_obs = ref.reset()
+            try:
+                ref_obs = ref.reset()
+            except AssertionError as e:
+                # the reference's reset rejection loop pops tried locations
+                # REGARDLESS of validity and asserts when the list empties
+                # ("Cannot place items, increase map size!",
+                # pogostick_v0_env.py:191) — probabilistic capacity crash on
+                # item-heavy stacks; the comparable action stream ends here
+                # (ngx's reset skips unplaceable items by design,
+                # docs/PARITY.md deviations)
+                assert "increase map size" in str(e), e
+                return
             np.random.seed(seed + 1000 + t)
             obs = env.reset()
             assert_obs_equal(obs, ref_obs, f"re-reset at {t}")

@@ -95,3 +95,16 @@ def test_debug_soak_batched_kernel(monkeypatch):
     assert total_done > 100, total_done   # many episodes crossed
     assert (st.inventory >= 0).all()
     assert (st.step_count >= 0).all()
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference repo not mounted")
+@pytest.mark.parametrize("env_id", ["NovelGridworld-v0", "NovelGridworld-v3",
+                                    "NovelGridworld-v5"])
+def test_long_horizon_legacy(env_id):
+    """Legacy-env long soak: 5k steps of snapshot-injected step conformance
+    through many episodes (v3 exercises the wall-coin + random-inventory
+    reset path on every episode boundary)."""
+    from test_conformance_legacy import run_legacy
+
+    run_legacy(env_id, seed=99, n_steps=N_STEPS)
