@@ -165,6 +165,35 @@ def main(argv=None):
                     f"| {env_id} | {s['mean_return']:.1f} | "
                     f"{s['solve_rate']:.0%} | {res['solver_checkpoint']} |")
         if os.path.isdir(os.path.join(args.agents, "chain")):
+            # evaluate the chain agents LIVE under the chain protocol so a
+            # regenerated EVAL.md stays truthful (per-stage 100-step
+            # budgets, enjoy.py:87,107)
+            from ngx.rl.curriculum import evaluate_chain
+            from ngx.utils.checkpoint import restore_pytree
+
+            CH = ["NovelGridworld-v2", "NovelGridworld-v3",
+                  "NovelGridworld-v4", "NovelGridworld-v5"]
+            stages = [restore_pytree(
+                os.path.join(args.agents, "chain", e, "best"))
+                for e in CH]
+            hidden = tuple(stages[0].get("config", {}).get("hidden",
+                                                           (64, 64)))
+            stage_params = [s["params"] for s in stages]
+            chain_res = evaluate_chain(
+                CH, stage_params[:-1], stage_params[-1],
+                episodes=args.episodes, cap=args.episode_cap,
+                hidden=hidden, seed=args.seed)
+            report["chain"] = chain_res
+            solver_path = os.path.join(args.agents, "chain_solver_v5",
+                                       "best")
+            solver_res = None
+            if os.path.exists(solver_path):
+                solver_res = evaluate_chain(
+                    CH, stage_params[:-1],
+                    restore_pytree(solver_path)["params"],
+                    episodes=args.episodes, cap=args.episode_cap,
+                    hidden=hidden, seed=args.seed)
+                report["chain_solver"] = solver_res
             lines += [
                 "",
                 "## Curriculum chain training (reference "
@@ -175,21 +204,38 @@ def main(argv=None):
                 "reproduced the reference's restore-chaining sweep: each "
                 "stage trained with every reset drawing a fresh batch of "
                 "chain-terminal states restored from the previous stages' "
-                "frozen policies (10M env steps/stage on one chip).  "
-                "Per-stage checkpoints live under `trained_agents/chain/`.",
+                "frozen policies.  Per-stage checkpoints live under "
+                "`trained_agents/chain/`.",
                 "",
-                "Under the chain protocol it was trained for (earlier "
-                "stages played by their frozen policies, the final policy "
-                "rolled from the restored states for the remaining step "
-                "budget — `ngx.rl.curriculum.evaluate_chain`, 128 chains, "
-                "seed 0, measured 2026-08-21), the chain-trained v5 agent "
-                "scores **solve 94%, mean return 1184** (restored mid-chain "
-                "states carry stocked inventories, hence returns far above "
-                "the from-scratch scale).  As in the reference's design, "
-                "the later-stage specialists are chain-state policies: "
-                "evaluated from plain resets they drop sharply (v2 stage: "
-                "100% solve; v4/v5 stages: 0%), which is the expected "
-                "behavior of restore-chained specialists, not a defect.",
+                "Under the chain protocol (earlier stages played by their "
+                "frozen policies, the final policy rolled from the "
+                "restored states with its own 100-step budget — "
+                "`ngx.rl.curriculum.evaluate_chain`, "
+                f"{args.episodes} chains, seed {args.seed}), the "
+                "chain-trained v5 agent scores "
+                f"**solve {chain_res['solve_rate']:.0%}, mean return "
+                f"{chain_res['mean_return']:.0f}** (it farms the stocked "
+                "mid-chain inventories, hence the large returns).",
+            ]
+            if solver_res is not None:
+                lines += [
+                    "",
+                    "The chain SOLVER (`trained_agents/chain_solver_v5` — "
+                    "the solver recipe on the fused Pallas chain trainer: "
+                    "solve-shaped reward + BC anchor from the v5 expert "
+                    "demos, 470M env steps) scores **solve "
+                    f"{solver_res['solve_rate']:.0%}, mean return "
+                    f"{solver_res['mean_return']:.1f}** under the same "
+                    "protocol — it solves immediately from every restored "
+                    "state instead of farming.",
+                ]
+            lines += [
+                "",
+                "As in the reference's design, the later-stage specialists "
+                "are chain-state policies: evaluated from plain resets "
+                "they drop sharply (v2 stage: 100% solve; v4/v5 stages: "
+                "0%), which is the expected behavior of restore-chained "
+                "specialists, not a defect.",
             ]
         lines += [
             "",

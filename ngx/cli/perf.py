@@ -49,8 +49,9 @@ def main(argv=None):
                         "over the xla vs pallas acting backends "
                         "(docs/PERF.md end-to-end table)")
     p.add_argument("--profile", action="store_true")
-    p.add_argument("-block", type=int, default=512,
-                   help="pallas block size (policy mode)")
+    p.add_argument("-block", type=int, default=256,
+                   help="pallas block size (policy mode; 256 measured best "
+                        "— 7.45M vs 6.57M at 512, docs/PERF.md)")
     p.add_argument("-novelty", default="",
                    help="trainer mode: inject this novelty into the spec "
                         "before the A/B (e.g. 'firewall:easy' or "

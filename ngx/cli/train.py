@@ -205,10 +205,13 @@ def main(argv=None):
             except Exception as e:
                 if k == 1:
                     raise
-                # some Pallas configs (block 256) exceed the scoped-VMEM
-                # limit only when the kernel is wrapped in the update scan
-                # — fall back to per-update launches (carry is untouched:
-                # the launch failed at compile time)
+                # defensive fallback to per-update launches on a compile
+                # failure (carry is untouched: the launch failed at compile
+                # time).  Since the round-5 scoped-VMEM fix
+                # (docs/MOSAIC_BUGS.md) every shipped config compiles inside
+                # the update scan — block 256 + updates_per_launch measured
+                # together at 2.38M steps/s (chain run, r5_chip3) — so this
+                # path should not trigger in practice.
                 print(f"updates_per_launch={k} failed to compile "
                       f"({type(e).__name__}); falling back to 1")
                 k_launch = 1

@@ -273,12 +273,8 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
     if use_pallas:
         from ..ops.pallas_rollout import make_pallas_train_rollout
         R = 4
-        # same measured frontier as make_train (docs/PERF.md)
-        if B % 256 == 0:
-            blk = 256
-            tck = 16 if (T % 16 == 0 and 32 <= T <= 128) else 64
-        else:
-            blk, tck = 128, 64
+        from .train import pick_trainer_block
+        blk, tck = pick_trainer_block(B, T)
         run_roll = make_pallas_train_rollout(
             spec, B, T, block=blk, t_chunk=tck, cap=cfg.episode_cap,
             hidden=hidden, reset_source="pool", pool_slots=R)

@@ -56,6 +56,26 @@ class PPOConfig:
     # place loops) while the solve-shaped reward optimizes completion.
     # The dataset rides via make_train(..., bc_data=(obs, actions)).
     bc_coef: float = 0.0
+    # minibatch shuffle: 'permutation' = exact uniform permutation per epoch
+    # (SB2 semantics; a T*B-element sort per epoch); 'affine' = a random
+    # affine bijection i -> (A*i + r) mod N (A odd ~ N is a power of two for
+    # the default shapes) — not a uniform permutation, but decorrelates
+    # minibatches just as well for PPO and skips the sort (measured on-chip
+    # A/B in docs/PERF.md).
+    shuffle: str = "permutation"
+
+
+def pick_trainer_block(B_loc: int, T: int):
+    """Measured block/t_chunk frontier for the fused trainer kernel
+    (docs/PERF.md round-5 tables): block 256 wins at every shape once the
+    per-device batch allows it — (256, 16) in the T∈[32,128] sweet spot
+    (5.62M acting at T=64), (256, 64) elsewhere (7.16M at T=256, 4.82M at
+    the T=40 solver shape).  128/64 covers non-256-divisible batches.
+    Every config COMPILES since the scoped-VMEM fix (docs/MOSAIC_BUGS.md)
+    — this is a measured preference, not a crash boundary."""
+    if B_loc % 256 == 0:
+        return 256, (16 if (T % 16 == 0 and 32 <= T <= 128) else 64)
+    return 128, 64
 
 
 def _flat_obs(spec):
@@ -140,7 +160,20 @@ def make_ppo_core(cfg: PPOConfig, model, bc_data=None, axis_name=None):
         mb = N // cfg.num_minibatches
 
         def epoch(ts, key_e):
-            perm = jax.random.permutation(key_e, N)
+            if cfg.shuffle == "affine":
+                # random odd multiplier + offset: an odd A is coprime to a
+                # power-of-two N, so i -> (A*i + r) mod N is a bijection.
+                # Restricted to power-of-two N (the default trainer shapes)
+                # — a general even N could share an odd factor with A and
+                # silently repeat samples.
+                assert N & (N - 1) == 0, \
+                    "affine shuffle needs power-of-two num_envs*rollout"
+                a = jax.random.randint(key_e, (), 0, N // 2) * 2 + 1
+                r = jax.random.randint(jax.random.fold_in(key_e, 1),
+                                       (), 0, N)
+                perm = (jnp.arange(N) * a + r) % N
+            else:
+                perm = jax.random.permutation(key_e, N)
 
             def minibatch(ts, idx):
                 sl = jax.tree_util.tree_map(
@@ -294,19 +327,7 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         plain_reset = (not spec.reset_edits and not spec.reset_wall_coin
                        and not spec.reset_place_tap)
         reset_source = "native" if plain_reset else "pool"
-        # measured block/t_chunk frontier (docs/PERF.md round-5 tables):
-        # block 256 wins at every shape once the batch allows it — (256, 16)
-        # at the trainer sweet spot T in [32, 128] (5.62M at T=64), (256, 64)
-        # for long rollouts (7.16M at T=256, 1.5x the old 128-block number).
-        # Since the scoped-VMEM fix (docs/MOSAIC_BUGS.md) every config
-        # COMPILES — this pick is a measured preference, not a crash
-        # boundary: 256/1D 5.48M, 256/32 5.47M, 512/* 5.2-6.6M all work and
-        # all lose a few % to the picks below.
-        if B_loc % 256 == 0:
-            blk = 256
-            tck = 16 if (T % 16 == 0 and 32 <= T <= 128) else 64
-        else:
-            blk, tck = 128, 64
+        blk, tck = pick_trainer_block(B_loc, T)
         # pool slots: expected in-rollout resets per env is T/mean-episode-
         # length; slots cycle beyond that (documented reuse).  4 covers the
         # trainer shapes (T<=64, episodes >=~10 steps under any policy that

@@ -469,3 +469,32 @@ def test_train_step_pallas_pool_mesh():
         m = {k: float(v) for k, v in metrics.items()}
         assert np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"]), m
         assert m["episodes"] >= cfg.num_envs, m
+
+
+def test_trainer_block_frontier():
+    """The auto-picked trainer-kernel config must match the measured
+    frontier in docs/PERF.md (a regression guard: these picks are measured
+    preferences, and every config compiles since the scoped-VMEM fix)."""
+    from ngx.rl.train import pick_trainer_block
+
+    assert pick_trainer_block(8192, 64) == (256, 16)    # 5.62M measured
+    assert pick_trainer_block(8192, 48) == (256, 16)    # chain shape
+    assert pick_trainer_block(8192, 256) == (256, 64)   # 7.16M measured
+    assert pick_trainer_block(8192, 40) == (256, 64)    # solver, 4.82M
+    assert pick_trainer_block(8192, 16) == (256, 64)
+    assert pick_trainer_block(128, 64) == (128, 64)     # non-256 batch
+    assert pick_trainer_block(384, 64) == (128, 64)
+
+
+def test_t_chunk_respects_block_shape_constraint():
+    """Chunk sizes must be 8-divisible or the full T (Pallas trajectory
+    out-block constraint, chip-verified at T=100): the kernel builder must
+    pick a legal TC for every T."""
+    from ngx.ops.pallas_rollout import make_pallas_train_rollout
+    from ngx.transforms import lidar_in_front
+
+    spec = lidar_in_front(ngx.make_spec(POGO))
+    for T in (4, 15, 40, 48, 64, 100, 250, 256):
+        run = make_pallas_train_rollout(spec, 128, T, block=128, t_chunk=64,
+                                        interpret=True)
+        assert run.obs_dim > 0   # built without assert failure
