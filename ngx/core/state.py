@@ -7,6 +7,7 @@ batches under ``vmap`` and shards over a device mesh along the env axis.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -82,3 +83,87 @@ def state_from_numpy(spec, map_arr, agent, facing, inventory, selected=-1,
         last_cost=jnp.asarray(last_cost, dtype=jnp.float32),
         last_done=jnp.asarray(last_done, dtype=bool),
     )
+
+
+def make_state_packers(spec):
+    """Lossless bit-packing of a BATCHED EnvState into a compact int32
+    carry — the HBM-bytes lever for scan-carried rollouts.
+
+    The roofline (docs/PERF.md) shows the fused stepping kernel is
+    memory-bound on loop-carry traffic while using ~3% of the VPU's
+    arithmetic peak, so trading a few shift/mask ops per cell for a ~4x
+    smaller carry is the profitable direction.  Layout (per env):
+
+    * map: 6 cells x 5 bits per word (item ids < 32 — ``max_items=20``
+      bounds the reference id space, pogostick_v1_env.py:75) —
+      ceil(H*W/6) words;
+    * inventory: 2 counts x 15 bits per word — exact while every count
+      stays < 32,768 (any bench/training rollout: counts grow at most ~2
+      per step);
+    * scalars: agent row/col (5+5), facing (2), selected+1 (6),
+      last_action (6), last_done (1) in one word; step_count its own word;
+    * last_reward / last_cost: float32 bit-cast, one word each.
+
+    Returns ``(pack, unpack, n_words)`` with ``pack(state[B]) ->
+    int32[B, n_words]`` and ``unpack(packed) -> EnvState[B]``;
+    ``unpack(pack(s)) == s`` exactly (tests/test_vector.py).
+    """
+    H = spec.map_size
+    HW = H * H
+    I = spec.n_items
+    assert I <= 31, "5-bit map cells need item ids < 32"
+    assert H <= 32, "5-bit agent coordinates need map_size <= 32"
+    MAP_W = -(-HW // 6)
+    INV_W = -(-I // 2)
+    n_words = MAP_W + INV_W + 4     # + scalars, step_count, 2 floats
+
+    map_pad = MAP_W * 6 - HW
+    inv_pad = INV_W * 2 - I
+    shifts5 = jnp.asarray(np.arange(6, dtype=np.int32) * 5)
+
+    def pack(st: EnvState) -> jnp.ndarray:
+        B = st.map.shape[0]
+        m = jnp.pad(st.map, ((0, 0), (0, map_pad))).reshape(B, MAP_W, 6)
+        mw = jnp.sum(m << shifts5[None, None, :], axis=-1)
+        inv = jnp.pad(st.inventory, ((0, 0), (0, inv_pad))).reshape(
+            B, INV_W, 2)
+        iw = inv[:, :, 0] | (inv[:, :, 1] << 15)
+        sc = (st.agent[:, 0] | (st.agent[:, 1] << 5) | (st.facing << 10)
+              | ((st.selected + 1) << 12) | (st.last_action << 18)
+              | (jnp.where(st.last_done, 1, 0) << 24))
+        fl = jnp.stack(
+            [jax.lax.bitcast_convert_type(st.last_reward, jnp.int32),
+             jax.lax.bitcast_convert_type(st.last_cost, jnp.int32)],
+            axis=-1)
+        return jnp.concatenate(
+            [mw, iw, sc[:, None], st.step_count[:, None], fl], axis=-1)
+
+    def unpack(p: jnp.ndarray) -> EnvState:
+        B = p.shape[0]
+        mw = p[:, :MAP_W]
+        m = ((mw[:, :, None] >> shifts5[None, None, :]) & 31).reshape(
+            B, MAP_W * 6)[:, :HW]
+        iw = p[:, MAP_W:MAP_W + INV_W]
+        inv = jnp.stack([iw & 0x7FFF, (iw >> 15) & 0x7FFF],
+                        axis=-1).reshape(B, INV_W * 2)[:, :I]
+        sc = p[:, MAP_W + INV_W]
+        cnt = p[:, MAP_W + INV_W + 1]
+        lr = jax.lax.bitcast_convert_type(p[:, MAP_W + INV_W + 2],
+                                          jnp.float32)
+        lc = jax.lax.bitcast_convert_type(p[:, MAP_W + INV_W + 3],
+                                          jnp.float32)
+        return EnvState(
+            map=m,
+            agent=jnp.stack([sc & 31, (sc >> 5) & 31], axis=-1),
+            facing=(sc >> 10) & 3,
+            inventory=inv,
+            selected=((sc >> 12) & 63) - 1,
+            step_count=cnt,
+            last_action=(sc >> 18) & 63,
+            last_reward=lr,
+            last_cost=lc,
+            last_done=((sc >> 24) & 1) != 0,
+        )
+
+    return pack, unpack, n_words
+

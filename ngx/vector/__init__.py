@@ -117,7 +117,7 @@ def make_vec(spec, *, episode_cap: Optional[int] = None,
 
 
 def throughput_fn(spec, batch: int, steps: int, action_rng: str = "threefry",
-                  auto_reset: bool = True):
+                  auto_reset: bool = True, packed: bool = False):
     """One fused jit computing ``steps`` batched random-action steps — the
     benchmark kernel (BASELINE.json's env-steps/s/chip metric).
 
@@ -130,12 +130,22 @@ def throughput_fn(spec, batch: int, steps: int, action_rng: str = "threefry",
     (``ngx.cli.perf``, docs/PERF.md): 'threefry' draws actions with
     jax.random.randint (default), 'hash' with a murmur3-style counter hash
     (one mix per step instead of a threefry block), 'fixed' repeats action 0
-    (no RNG at all); ``auto_reset=False`` drops the done->reset cond."""
+    (no RNG at all); ``auto_reset=False`` drops the done->reset cond.
+
+    ``packed=True`` carries the state BIT-PACKED through the scan
+    (``ngx.core.state.make_state_packers``: ~26 int32 words/env instead of
+    ~118) — the roofline's memory-bound finding says carry bytes are the
+    binding resource; pack/unpack per step is cheap VPU work.  Exact: the
+    packing is lossless, so the same key produces bit-identical results to
+    the unpacked kernel (tests/test_vector.py)."""
     single_reset = make_reset(spec)
     single_step = make_step(spec)
     v_reset = jax.vmap(single_reset)
     v_step = jax.vmap(single_step)
     n_actions = spec.n_actions
+    if packed:
+        from ..core.state import make_state_packers
+        pack_s, unpack_s, _ = make_state_packers(spec)
 
     def _hash_actions(t):
         x = (jnp.arange(batch, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1)
@@ -154,6 +164,8 @@ def throughput_fn(spec, batch: int, steps: int, action_rng: str = "threefry",
 
         def body(carry, xs):
             state, r_sum, d_sum = carry
+            if packed:
+                state = unpack_s(state)
             key_t, t = xs
             k_act, k_reset = jax.random.split(key_t)
             if action_rng == "threefry":
@@ -176,12 +188,17 @@ def throughput_fn(spec, batch: int, steps: int, action_rng: str = "threefry",
                                      lambda ns: ns, new_state)
             else:
                 state = new_state
+            if packed:
+                state = pack_s(state)
             return (state, r_sum + reward.sum(), d_sum + done.sum()), None
 
-        init = (state, jnp.float32(0), jnp.int32(0))
+        init = (pack_s(state) if packed else state,
+                jnp.float32(0), jnp.int32(0))
         (state, r_sum, d_sum), _ = jax.lax.scan(
             body, init, (jax.random.split(k1, steps),
                          jnp.arange(steps, dtype=jnp.int32)))
+        if packed:
+            state = unpack_s(state)
         return state, r_sum / (batch * steps)
 
     return run

@@ -192,3 +192,40 @@ def test_spmd_shard_map_rollout():
     assert np.isfinite(float(mean_r))
     assert float(mean_r) < 0  # random policy
     assert int(n_done) >= 0
+
+
+def test_packed_carry_bit_identical():
+    """throughput_fn(packed=True) — the bit-packed scan carry — must be
+    EXACTLY the unpacked kernel: same key, bit-identical final state and
+    mean reward (the packing is lossless by construction)."""
+    import numpy as np
+
+    spec = ngx.make_spec("NovelGridworld-Pogostick-v1")
+    a = throughput_fn(spec, 32, 40)
+    b = throughput_fn(spec, 32, 40, packed=True)
+    k = jax.random.key(11)
+    sa, ra = a(k)
+    sb, rb = b(k)
+    assert float(ra) == float(rb)
+    for f in sa.__dataclass_fields__:
+        np.testing.assert_array_equal(np.asarray(getattr(sa, f)),
+                                      np.asarray(getattr(sb, f)), err_msg=f)
+
+
+def test_state_packers_roundtrip():
+    """unpack(pack(s)) == s exactly for reset states of every preset."""
+    import numpy as np
+    from ngx.core.state import make_state_packers
+
+    for env_id in ("NovelGridworld-Pogostick-v1", "NovelGridworld-v3",
+                   "NovelGridworld-Bow-v0"):
+        spec = ngx.make_spec(env_id)
+        pack, unpack, n_words = make_state_packers(spec)
+        assert n_words < 32
+        vr = jax.jit(jax.vmap(ngx.make_reset(spec)))
+        st, _ = vr(jax.random.split(jax.random.key(0), 16))
+        st2 = jax.jit(lambda s: unpack(pack(s)))(st)
+        for f in st.__dataclass_fields__:
+            np.testing.assert_array_equal(np.asarray(getattr(st, f)),
+                                          np.asarray(getattr(st2, f)),
+                                          err_msg=f"{env_id}:{f}")
