@@ -63,6 +63,7 @@ HEADLINE_BATCH = 8192
 # both variants run at the headline batch and the best is quoted.
 STAGES = [
     (8192, 8192, 2, True),
+    (8192, 16384, 2, True),     # longer scan amortizes dispatch further
     (8192, 8192, 2, False),
     (262144, 1024, 2, False),
     (65536, 1024, 2, False),
