@@ -164,15 +164,20 @@ def main(argv=None):
                 lines.append(
                     f"| {env_id} | {s['mean_return']:.1f} | "
                     f"{s['solve_rate']:.0%} | {res['solver_checkpoint']} |")
-        if os.path.isdir(os.path.join(args.agents, "chain")):
+        CH = ["NovelGridworld-v2", "NovelGridworld-v3",
+              "NovelGridworld-v4", "NovelGridworld-v5"]
+        _chain_complete = all(
+            os.path.exists(os.path.join(args.agents, "chain", e, "best"))
+            for e in CH)
+        if _chain_complete:
             # evaluate the chain agents LIVE under the chain protocol so a
             # regenerated EVAL.md stays truthful (per-stage 100-step
-            # budgets, enjoy.py:87,107)
+            # budgets, enjoy.py:87,107); skipped fail-soft when any stage
+            # checkpoint is missing (partial/custom chain dirs) so the
+            # per-env report above is never discarded
             from ngx.rl.curriculum import evaluate_chain
             from ngx.utils.checkpoint import restore_pytree
 
-            CH = ["NovelGridworld-v2", "NovelGridworld-v3",
-                  "NovelGridworld-v4", "NovelGridworld-v5"]
             stages = [restore_pytree(
                 os.path.join(args.agents, "chain", e, "best"))
                 for e in CH]
@@ -215,7 +220,11 @@ def main(argv=None):
                 "chain-trained v5 agent scores "
                 f"**solve {chain_res['solve_rate']:.0%}, mean return "
                 f"{chain_res['mean_return']:.0f}** (it farms the stocked "
-                "mid-chain inventories, hence the large returns).",
+                "mid-chain inventories, hence the large returns — solved "
+                "counts GOAL terminations only, reward > reward_done/2; "
+                "an earlier `r > 0` predicate counted cap-truncated "
+                "farming episodes as solved and was corrected in round "
+                "5).",
             ]
             if solver_res is not None:
                 lines += [

@@ -121,6 +121,12 @@ def main(argv=None):
     w.writeheader()
 
     key = jax.random.key(args.seed)
+    if args.chain and args.inject_novelty_at:
+        # the injection path rebuilds a plain make_train carry, which the
+        # chain trainer's pool-carrying carry layout cannot continue from
+        # (and the reference's novelty-response experiment is a plain-env
+        # scenario, tests/train.py:73-89)
+        p.error("-chain and -inject_novelty_at are mutually exclusive")
     if args.chain:
         from ngx.rl.curriculum import make_train_chain
         from ngx.utils.checkpoint import restore_pytree

@@ -113,6 +113,7 @@ def make_state_packers(spec):
     I = spec.n_items
     assert I <= 31, "5-bit map cells need item ids < 32"
     assert H <= 32, "5-bit agent coordinates need map_size <= 32"
+    assert spec.n_actions <= 63, "6-bit last_action needs < 64 actions"
     MAP_W = -(-HW // 6)
     INV_W = -(-I // 2)
     n_words = MAP_W + INV_W + 4     # + scalars, step_count, 2 floats

@@ -813,7 +813,8 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
                               cap: int = 100, hidden=(64, 64),
                               interpret=None, t_chunk: int = 64,
                               reset_source: str = "native",
-                              pool_slots: int = 8):
+                              pool_slots: int = 8,
+                              spec_start_states: bool = True):
     """The fused acting rollout FOR THE PPO TRAINER — the 'policy' kernel
     re-plumbed for training:
 
@@ -839,7 +840,8 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
       states: ``run(seed, state, params, pool, base)`` where ``pool`` is an
       ``EnvState`` whose leaves carry leading dims ``[batch, pool_slots]``
       and ``base`` is int32[batch] (steps consumed before the current
-      episode's restore).  Env ``b``'s k-th in-rollout reset takes
+      episode's restore).  Env ``b``'s k-th in-rollout reset (k counted
+      from 0) takes
       ``pool[b, k % pool_slots]`` — the caller refreshes the pool every
       launch, so slots are fresh iid draws unless an env finishes more than
       ``pool_slots`` episodes in one rollout (then slots cycle).  This is
@@ -913,7 +915,13 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
         _terms.append(((3 * HW) // 10)
                       * int(np.asarray(sp.crate_contents).max()))
     _obs_bound = int(start_hi.max()) + sum(_terms)
-    OBS_DTYPE = jnp.bfloat16 if _obs_bound < 256 else jnp.float32
+    # the bound assumes episodes START from the spec's procedural reset
+    # distribution; pool restores that inject arbitrary states (the CHAIN
+    # trainer's chain-terminal states carry inventory accumulated across
+    # prior stages) void it — callers pass spec_start_states=False and get
+    # exact f32 emission instead
+    OBS_DTYPE = (jnp.bfloat16 if _obs_bound < 256 and spec_start_states
+                 else jnp.float32)
 
     def _pack(st, rs, ds, base):
         iregs = jnp.stack(

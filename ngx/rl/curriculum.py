@@ -195,7 +195,12 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
             done = done | (ns.step_count - base >= cap)
             active = ~done_ever
             ret = ret + jnp.where(active, r, 0.0)
-            solved = solved | (active & done & (r > 0))
+            # solved = GOAL termination only: the goal step pays exactly
+            # reward_done (+50); a cap-forced done whose last step happens
+            # to pay a positive farm reward (+10 Break etc.) must NOT
+            # count — same threshold as the trainers (ngx/rl/train.py)
+            solved = solved | (active & done
+                               & (r > 0.5 * spec.reward_done))
             done_ever = done_ever | done
             keep = done_ever
 
@@ -275,9 +280,13 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
         R = 4
         from .train import pick_trainer_block
         blk, tck = pick_trainer_block(B, T)
+        # spec_start_states=False: chain-terminal restores carry inventory
+        # accumulated across prior stages, voiding the spec's bf16 obs
+        # bound — emit exact f32 obs
         run_roll = make_pallas_train_rollout(
             spec, B, T, block=blk, t_chunk=tck, cap=cfg.episode_cap,
-            hidden=hidden, reset_source="pool", pool_slots=R)
+            hidden=hidden, reset_source="pool", pool_slots=R,
+            spec_start_states=False)
 
     def init(key):
         k_env, k_net, k_idx = jax.random.split(key, 3)

@@ -317,7 +317,10 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         B_loc = B // n_dev
         # Specs with reset edits / wall-coin / tap pre-placement use the
         # POOL reset source: boundary resets draw from a per-launch pool of
-        # fresh XLA resets (ngx.core.reset) instead of replicating the
+        # fresh procedural resets generated by make_xla_pool_reset (the
+        # kernel's scatter-free reset math as plain XLA — distribution-
+        # equivalent to the reference, like the in-kernel native reset)
+        # instead of replicating the
         # percent-fill machinery in-kernel — replicating it is what pushed
         # those specs over the (256, 16) Mosaic compile cliff in round 4
         # (docs/MOSAIC_BUGS.md), locking the reference's train-under-novelty

@@ -212,3 +212,25 @@ def test_hlo_audit_train_step_gradient_allreduce_only():
           f"B), {len(small_ars)} scalar psums; approx bytes/update = "
           f"{per_update} ({cfg.epochs}x{cfg.num_minibatches} minibatch "
           f"syncs)")
+
+
+def test_mesh_train_step_with_bc_anchor_and_solve_shaping():
+    """The shard-local update composes with the BC-anchor loss term and
+    solve shaping (the solver recipe under a mesh): the closed-over demo
+    arrays replicate into every shard and the pmean'd gradients stay
+    finite."""
+    from jax.sharding import Mesh
+    from ngx.rl.train import PPOConfig, make_train
+
+    mesh = Mesh(np.asarray(jax.devices()), ("env",))
+    cfg = PPOConfig(num_envs=8 * 16, rollout_steps=8, num_minibatches=2,
+                    epochs=1, hidden=(16, 16), bc_coef=0.05,
+                    solve_shaped=True)
+    rng = np.random.RandomState(0)
+    bc = (rng.rand(64, 63).astype(np.float32), np.zeros((64,), np.int32))
+    with mesh:
+        init, train_step = make_train(cfg, mesh, bc_data=bc)
+        carry = init(jax.random.key(0))
+        carry, m = jax.jit(train_step)(carry, jax.random.key(1))
+    assert np.isfinite(float(m["pg_loss"])) and np.isfinite(
+        float(m["v_loss"]))
