@@ -6,10 +6,11 @@ episodes, policy forward pass, env step, first-done bookkeeping — is ONE
 jitted ``lax.scan``: evaluating 100+ episodes costs about as much as stepping
 a single env for 100 steps on the host.
 
-An episode is "solved" when it terminates before the cap with a positive
-terminal reward (the goal step pays ``reward_done``=+50 on every env,
-SURVEY.md §2.2; the non-goal terminations — v2's dead-end done at −1,
-FireWall death at −25 — are negative, so the sign test separates them).
+An episode is "solved" when it terminates before the cap with terminal
+reward above ``reward_done/2`` (the goal step pays ``reward_done``=+50 on
+every env, SURVEY.md §2.2; non-goal terminations pay at most +10 — v2's
+dead-end done can land right after a successful craft — or are negative,
+like FireWall death at −25, so the half-threshold separates them exactly).
 """
 
 from __future__ import annotations
@@ -68,7 +69,15 @@ def make_eval(spec, hidden=(64, 64), cap: int = 100, apply_logits=None,
                 active = ~done_ever
                 ret = ret + jnp.where(active, r, 0.0)
                 length = length + active.astype(jnp.int32)
-                solved = solved | (active & done & (r > 0))
+                # solved = GOAL termination: the goal step pays exactly
+                # reward_done (+50) on every env; thresholding at half of
+                # it excludes non-goal dones that follow a POSITIVE step —
+                # v2's dead-end fires right after a successful +10 craft
+                # (novel_gridworld_v2_env.py:263-266), which a bare r > 0
+                # miscounted as a solve (round-5 fix, same class as
+                # evaluate_chain's cap-truncation fix)
+                solved = solved | (active & done
+                                   & (r > 0.5 * spec.reward_done))
                 done_ever = done_ever | done
                 return (state, obs, ret, length, done_ever, solved), None
 
@@ -115,7 +124,8 @@ def evaluate_expert(env_id: str, episodes: int = 128, cap: int = 100,
                     seed: int = 0):
     """Evaluate the scripted expert (ngx.rl.experts) under the same protocol
     as the batched evaluator: ``episodes`` episodes, ``cap``-step cap,
-    solved = done-before-cap with positive terminal reward.
+    solved = goal termination before the cap (terminal reward above
+    reward_done/2).
 
     The experts are host-side state machines (BFS over the live map), so
     this runs through the compat facade one env at a time — the measured
@@ -144,7 +154,9 @@ def evaluate_expert(env_id: str, episodes: int = 128, cap: int = 100,
         ret[ep] = total
         length[ep] = t + 1
         done_ever[ep] = done
-        solved[ep] = done and r > 0
+        # goal-termination test (see make_eval's threshold note): v2's
+        # dead-end done can follow a +10 craft
+        solved[ep] = done and r > 0.5 * env.reward_done
     return {
         "mean_return": float(ret.mean()),
         "solve_rate": float(solved.mean()),
