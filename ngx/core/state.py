@@ -89,10 +89,11 @@ def make_state_packers(spec):
     """Lossless bit-packing of a BATCHED EnvState into a compact int32
     carry — the HBM-bytes lever for scan-carried rollouts.
 
-    The roofline (docs/PERF.md) shows the fused stepping kernel is
-    memory-bound on loop-carry traffic while using ~3% of the VPU's
-    arithmetic peak, so trading a few shift/mask ops per cell for a ~4x
-    smaller carry is the profitable direction.  Layout (per env):
+    Pays where the rollout is carry/latency-bound — measured +13-16% at
+    the 8,192-env north-star batch; at the 262k saturation batch the
+    kernel is compute-bound and the extra shift/mask work LOSES 38%, so
+    bench.py uses packing only at the headline batch (the roofline
+    falsification experiment, docs/PERF.md).  Layout (per env):
 
     * map: 6 cells x 5 bits per word (item ids < 32 — ``max_items=20``
       bounds the reference id space, pogostick_v1_env.py:75) —

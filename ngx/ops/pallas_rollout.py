@@ -848,10 +848,10 @@ def make_pallas_train_rollout(sp, batch: int, steps: int, block: int = 128,
       (a) how the CHAIN trainer restores chain-terminal states in-kernel
       (reference ``tests/train_last_agent.py:77-87``), and (b) how
       novelty-injected specs keep the fast (block 256, t_chunk 16) config:
-      the percent-fill/wall-coin/tap reset edits run OUTSIDE the kernel in
-      the XLA reset (``ngx.core.reset``), whose in-kernel replication is
-      exactly what pushed those specs over the Mosaic compile cliff
-      (docs/MOSAIC_BUGS.md).  Pool restores set ``selected=-1``,
+      the percent-fill/wall-coin/tap reset edits run OUTSIDE the kernel
+      (ngx.rl.train fills the pool with :func:`make_xla_pool_reset`),
+      and replicating them in-kernel is exactly what pushed those specs
+      over the Mosaic compile cliff (docs/MOSAIC_BUGS.md).  Pool restores set ``selected=-1``,
       ``last_action=0`` and ``last_reward/cost=0`` (none feed obs, reward
       or done; the restore semantics for the fields that matter — map,
       agent, facing, inventory, step_count — follow the reference's

@@ -165,8 +165,9 @@ def evaluate_chain(env_ids: Sequence[str], stage_params: Sequence,
     earlier stages with their frozen policies, restore into the last env,
     then roll the final policy from the restored states for a fresh
     ``cap``-step budget (the reference gives EACH chained env its own
-    <=100-step loop, enjoy.py:87,107).  Solved = done within the budget
-    with a positive terminal reward."""
+    <=100-step loop, enjoy.py:87,107).  Solved = GOAL termination within
+    the budget (terminal reward above ``reward_done/2`` — a cap-forced
+    done after a positive farm step does not count)."""
     import jax.numpy as jnp
 
     chain, spec = make_chain_reset(env_ids, stage_params, episodes, cap,
@@ -232,9 +233,9 @@ def make_train_chain(cfg: PPOConfig, env_ids: Sequence[str],
     chain-terminal state (reference semantics: the trained env's reset IS
     the restore branch, ``train_last_agent.py:77-87``).
 
-    The pool of B chain states refreshes inside every train step (the
-    reference re-chains once per ``learn(500)``); boundary resets draw pool
-    rows uniformly.  ``rollout_backend='pallas'`` runs the acting loop as
+    Boundary resets draw uniformly (with replacement) from a carried pool
+    of ``pool_size`` chain-terminal states.  ``rollout_backend='pallas'``
+    runs the acting loop as
     the fused Mosaic kernel with ``reset_source='pool'``: boundary restores
     pick chain-terminal states from the carried pool expanded to
     ``pool_slots`` iid row draws per env (``'auto'`` picks pallas on TPU

@@ -320,8 +320,8 @@ def make_train(cfg: PPOConfig, mesh: Optional[Mesh] = None,
         # fresh procedural resets generated by make_xla_pool_reset (the
         # kernel's scatter-free reset math as plain XLA — distribution-
         # equivalent to the reference, like the in-kernel native reset)
-        # instead of replicating the
-        # percent-fill machinery in-kernel — replicating it is what pushed
+        # instead of replicating the percent-fill machinery in-kernel —
+        # replicating it is what pushed
         # those specs over the (256, 16) Mosaic compile cliff in round 4
         # (docs/MOSAIC_BUGS.md), locking the reference's train-under-novelty
         # scenario (tests/train.py:73-89) out of the fast config.  With the
