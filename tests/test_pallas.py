@@ -498,3 +498,73 @@ def test_t_chunk_respects_block_shape_constraint():
         run = make_pallas_train_rollout(spec, 128, T, block=128, t_chunk=64,
                                         interpret=True)
         assert run.obs_dim > 0   # built without assert failure
+
+
+def test_pallas_train_rollout_pool_parity_through_resets():
+    """FULL-horizon parity for the pool-reset trainer kernel: because pool
+    restores are deterministic (slot k % R per env), the emitted trajectory
+    can be replayed through the XLA step INCLUDING every episode boundary —
+    a stronger guarantee than the native-reset parity test, which must stop
+    comparing at the first reset (different reset RNG streams)."""
+    from ngx.core.reset import make_reset
+    from ngx.core.step import make_step
+    from ngx.ops.pallas_rollout import make_pallas_train_rollout
+    from ngx.rl.models import ActorCritic
+    from ngx.transforms import lidar_in_front
+
+    spec = lidar_in_front(ngx.make_spec(POGO))
+    B, T, R, CAP = 128, 30, 4, 10
+    run = make_pallas_train_rollout(spec, B, T, block=128, cap=CAP,
+                                    hidden=(16, 16), reset_source="pool",
+                                    pool_slots=R, interpret=True)
+    model = ActorCritic(n_actions=spec.n_actions, hidden=(16, 16))
+    vreset = jax.jit(jax.vmap(make_reset(spec)))
+    state0, _ = vreset(jax.random.split(jax.random.key(0), B))
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, run.obs_dim), jnp.float32))
+    pool, _ = vreset(jax.random.split(jax.random.key(2), B * R))
+    pool = jax.tree_util.tree_map(
+        lambda x: x.reshape((B, R) + x.shape[1:]), pool)
+
+    st2, obs_t, act, rew, done, base = jax.jit(
+        lambda s, st, p, pl, b: run(s, st, p, pl, b))(
+        7, state0, params, pool, jnp.zeros((B,), jnp.int32))
+    obs_t, act, rew, done = (np.asarray(obs_t), np.asarray(act),
+                             np.asarray(rew), np.asarray(done))
+
+    # replay: same actions through the vmapped XLA step; at every done,
+    # substitute the KNOWN pool row (slot = resets-so-far % R)
+    v_step = jax.jit(jax.vmap(make_step(spec)))
+    step1 = make_step(spec)
+    get_obs_v = jax.jit(jax.vmap(step1.get_obs))
+    state = state0
+    nresets = np.zeros((B,), np.int64)
+    base_ref = np.zeros((B,), np.int64)
+    for t in range(T):
+        np.testing.assert_array_equal(
+            np.asarray(get_obs_v(state), np.float32), obs_t[t],
+            err_msg=f"obs at t={t}")
+        ns, _, r, d, _ = v_step(state, jnp.asarray(act[t]))
+        np.testing.assert_allclose(np.asarray(r), rew[t],
+                                   err_msg=f"reward t={t}")
+        d = np.asarray(d) | (np.asarray(ns.step_count) - base_ref >= CAP)
+        np.testing.assert_array_equal(d, done[t], err_msg=f"done t={t}")
+        ns_np = jax.tree_util.tree_map(np.asarray, ns)
+        leaves = {f: np.array(getattr(ns_np, f))
+                  for f in ns_np.__dataclass_fields__}
+        for b in np.nonzero(d)[0]:
+            slot = nresets[b] % R
+            for f in leaves:
+                pv = np.asarray(getattr(pool, f))[b, slot]
+                leaves[f][b] = pv
+            leaves["selected"][b] = -1
+            leaves["last_action"][b] = 0
+            leaves["last_reward"][b] = 0.0
+            leaves["last_cost"][b] = 0.0
+            leaves["last_done"][b] = False
+            base_ref[b] = leaves["step_count"][b]
+            nresets[b] += 1
+        from ngx.core.state import EnvState
+        state = EnvState(**{f: jnp.asarray(v) for f, v in leaves.items()})
+    assert nresets.sum() > 2 * B, nresets.sum()   # boundaries were crossed
+    np.testing.assert_array_equal(base_ref, np.asarray(base))
