@@ -278,12 +278,34 @@ def main(argv=None):
             # (RemapActionOnStep, reference tests/train.py:73-89)
             print(f"injecting novelty {args.novelty} at update {inject_update}")
             import ngx
+            from ngx.transforms import lidar_in_front
+            spec1 = lidar_in_front(ngx.make_spec(args.env))
             spec2 = ngx.inject_novelty(
                 ngx.make_spec(args.env), args.novelty,
                 args.novelty_difficulty, args.novelty_arg1, args.novelty_arg2)
-            # NOTE: changed action/obs dims require a fresh head; the
-            # reference only continues training when dims are unchanged
-            # (remapaction, tests/train.py:73-89).
+            spec2_l = lidar_in_front(spec2)
+            # continuing the SAME policy across the injection requires
+            # unchanged obs/action dims — the reference's novelty-response
+            # experiment is remapaction for exactly this reason
+            # (tests/train.py:73-89).  Item-adding novelties (axe, firewall,
+            # fence, ...) grow the lidar obs and/or action space; train them
+            # from scratch via `-env` + a pre-injected spec... i.e. without
+            # -inject_novelty_at.  Fail loudly instead of deep in tracing.
+            from ngx.core.state import zeros_state
+            import ngx as _ngx
+            d1 = int(_ngx.make_step(spec1).get_obs(
+                zeros_state(spec1)).shape[-1])
+            d2 = int(_ngx.make_step(spec2_l).get_obs(
+                zeros_state(spec2_l)).shape[-1])
+            if spec2_l.n_actions != spec1.n_actions or d1 != d2:
+                raise SystemExit(
+                    f"-inject_novelty_at cannot continue the trained policy "
+                    f"across '{args.novelty}': it changes the obs/action "
+                    f"dims (obs {d1} -> {d2}, actions {spec1.n_actions} "
+                    f"-> {spec2_l.n_actions}).  The reference's mid-training "
+                    f"scenario is dimension-preserving (remapaction, "
+                    f"tests/train.py:73-89); to train under this novelty, "
+                    f"start a fresh run on the injected spec.")
             init2, train_step2 = make_train(
                 cfg, spec_override=spec2,
                 rollout_backend=args.rollout_backend)
