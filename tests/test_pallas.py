@@ -568,3 +568,32 @@ def test_pallas_train_rollout_pool_parity_through_resets():
         state = EnvState(**{f: jnp.asarray(v) for f, v in leaves.items()})
     assert nresets.sum() > 2 * B, nresets.sum()   # boundaries were crossed
     np.testing.assert_array_equal(base_ref, np.asarray(base))
+
+
+def test_train_step_pallas_pool_stacked_novelties():
+    """A STACKED novelty spec (axe-medium spawn-add + fence reset edit)
+    through the fused trainer: the pool generator must reproduce the
+    composed reset surface (extra spawn placements + percent fill) and the
+    kernel must act on the grown item/action space."""
+    from ngx.rl.train import PPOConfig, make_train
+
+    spec = ngx.inject_novelty(
+        ngx.inject_novelty(ngx.make_spec(POGO), "axe", "medium", "wooden"),
+        "fence", "easy", "oak")
+    cfg = PPOConfig(num_envs=128, rollout_steps=12, num_minibatches=2,
+                    epochs=1, hidden=(16, 16), episode_cap=8)
+    init, train_step = make_train(cfg, spec_override=spec,
+                                  rollout_backend="pallas")
+    carry = init(jax.random.key(0))
+    carry, m = jax.jit(train_step)(carry, jax.random.key(1))
+    assert np.isfinite(float(m["pg_loss"])), m
+    assert float(m["episodes"]) >= cfg.num_envs
+    # the wooden_axe spawn survives pool resets: some env should hold one
+    # after auto-grab over a few rollouts
+    axe = spec.items.index("wooden_axe")
+    for i in range(3):
+        carry, m = jax.jit(train_step)(carry, jax.random.fold_in(
+            jax.random.key(2), i))
+    maps_have_axe = (np.asarray(carry[1].map) == axe).any()
+    inv_have_axe = (np.asarray(carry[1].inventory)[:, axe] > 0).any()
+    assert maps_have_axe or inv_have_axe
