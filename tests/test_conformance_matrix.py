@@ -3,9 +3,12 @@
 The hand-picked stacks in test_conformance_stacked.py probe known shadowing
 hazards; residual parity risk lives in the combinations nobody hand-picked.
 This module ENUMERATES legal ordered novelty stacks from ``inject_novelty``'s
-own constraints (novelty_wrappers.py:1586-1674 — arg requirements, no
-duplicate item names, extractincdec's env gating) and replays a deterministic
-sample of >= 40 stacks (2-deep and 3-deep) bit-exactly against the stacked
+own constraints plus the reference's own crash classes (novelty_wrappers.py:
+1586-1674 arg requirements, no duplicate item names, extractincdec's env
+gating; v6's missing set_lasts, fence-after-wall-replacement,
+extractincdec-over-action-adders — docs/PARITY.md) and replays a
+deterministic 68-stack sample (2-/3-/4-deep over all five modern envs, plus
+forced reset-edit-over-Pogostick-v0 cases) bit-exactly against the stacked
 reference, reusing the same drive harness.
 """
 
@@ -161,7 +164,9 @@ def _generate(n_target=60, seed=0):
     while len(combos) < n_target and attempts < 10_000:
         attempts += 1
         env_id = ENVS[len(combos) % len(ENVS)]
-        k = 3 if len(combos) % 3 == 0 else 2
+        # mostly 2-deep, every 3rd 3-deep, every 7th 4-deep (shadowing and
+        # reverse-lookup hazards compound with stack depth)
+        k = 4 if len(combos) % 7 == 0 else (3 if len(combos) % 3 == 0 else 2)
         stack = tuple(rng.sample(POOL, k))
         if not _legal(env_id, stack):
             continue
@@ -199,6 +204,7 @@ _FORCED = [
 
 MATRIX = _generate() + _FORCED
 assert sum(1 for _, s in MATRIX if len(s) == 3) >= 15
+assert sum(1 for _, s in MATRIX if len(s) == 4) >= 6
 assert sum(1 for e, _ in MATRIX
            if e == "NovelGridworld-Pogostick-v0") >= 10
 assert sum(1 for e, _ in MATRIX if e == "NovelGridworld-v6") >= 10
