@@ -84,11 +84,18 @@ def sharded_throughput_fn(spec, mesh: Mesh, batch: int, steps: int,
 
 
 def make_spmd_rollout(spec, mesh: Mesh, batch: int, steps: int,
-                      axis_name: str = ENV_AXIS):
+                      axis_name: str = ENV_AXIS, packed: bool = False):
     """Explicit-SPMD rollout via ``shard_map``: every chip runs its own local
     scan over ``batch / mesh.size`` envs, and the only cross-chip traffic is
     the final ``psum`` of the metrics — the pattern to scale the env axis
     across a pod slice (ICI collectives inserted exactly where written).
+
+    ``packed=True`` carries each shard's state bit-packed through the local
+    scan (``ngx.core.state.make_state_packers`` — lossless, bit-identical
+    results): on real pods the per-chip batch typically sits in the
+    carry-bound regime where packing measured +13-16% (docs/PERF.md
+    roofline; it LOSES at the 262k single-chip saturation batch, so it is
+    opt-in here too).
 
     Returns ``launch(key) -> (mean_reward, episodes_done)`` (replicated
     scalars)."""
@@ -101,6 +108,9 @@ def make_spmd_rollout(spec, mesh: Mesh, batch: int, steps: int,
     v_step = jax.vmap(make_step(spec))
     v_reset = jax.vmap(make_reset(spec))
     n_actions = spec.n_actions
+    if packed:
+        from ..core.state import make_state_packers
+        pack_s, unpack_s, _ = make_state_packers(spec)
 
     def _align(tree):
         """Normalize varying-manual-axes: leaves of a reset state that don't
@@ -119,6 +129,8 @@ def make_spmd_rollout(spec, mesh: Mesh, batch: int, steps: int,
 
         def body(carry, key_t):
             state, r_sum, d_sum = carry
+            if packed:
+                state = unpack_s(state)
             k_act, k_reset = jax.random.split(key_t)
             actions = jax.random.randint(k_act, (local_b,), 0, n_actions)
             new_state, _, reward, done, _ = v_step(state, actions)
@@ -133,9 +145,13 @@ def make_spmd_rollout(spec, mesh: Mesh, batch: int, steps: int,
             state = jax.lax.cond(jnp.any(done),
                                  lambda ns: _align(with_resets(ns)),
                                  _align, new_state)
+            if packed:
+                state = pack_s(state)
             return (state, r_sum + reward.sum(), d_sum + done.sum()), None
 
         local_key = jax.random.fold_in(keys[0], 17)
+        if packed:
+            state = _align(pack_s(state))
         init_carry = (state, *(_align((jnp.float32(0), jnp.int32(0)))))
         (state, r_sum, d_sum), _ = jax.lax.scan(
             body, init_carry, jax.random.split(local_key, steps))

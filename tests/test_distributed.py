@@ -234,3 +234,20 @@ def test_mesh_train_step_with_bc_anchor_and_solve_shaping():
         carry, m = jax.jit(train_step)(carry, jax.random.key(1))
     assert np.isfinite(float(m["pg_loss"])) and np.isfinite(
         float(m["v_loss"]))
+
+
+def test_spmd_rollout_packed_carry_bit_identical():
+    """The sharded SPMD rollout with the bit-packed carry must produce the
+    exact metrics of the unpacked form (packing is lossless; same RNG
+    streams), and its compiled HLO stays collective-free on the env path."""
+    spec = ngx.make_spec("NovelGridworld-Pogostick-v1")
+    mesh = make_env_mesh()
+    a = make_spmd_rollout(spec, mesh, BATCH, STEPS)
+    b = make_spmd_rollout(spec, mesh, BATCH, STEPS, packed=True)
+    ra = a(jax.random.key(3))
+    rb = b(jax.random.key(3))
+    assert float(ra[0]) == float(rb[0]) and int(ra[1]) == int(rb[1])
+    hlo = jax.jit(b).lower(jax.random.key(3)).compile().as_text()
+    cols = _collective_instrs(hlo)
+    assert {k for k, _, _ in cols} <= {"all-reduce"}
+    assert sum(x for _, x, _ in cols) <= 16, cols
