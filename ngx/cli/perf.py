@@ -130,6 +130,9 @@ def main(argv=None):
             ("hash-rng actions", {"action_rng": "hash"}),
             ("fixed action (no RNG)", {"action_rng": "fixed"}),
             ("no auto-reset", {"auto_reset": False}),
+            # the roofline falsification pair (docs/PERF.md): packing wins
+            # at the 8k carry-bound regime, loses at 262k saturation
+            ("bit-packed carry", {"packed": True}),
         ]
         for name, kw in variants:
             run = throughput_fn(spec, B, S, **kw)
