@@ -108,3 +108,56 @@ def test_long_horizon_legacy(env_id):
     from test_conformance_legacy import run_legacy
 
     run_legacy(env_id, seed=99, n_steps=N_STEPS)
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference repo not mounted")
+@pytest.mark.parametrize("env_id", ["NovelGridworld-Pogostick-v1",
+                                    "NovelGridworld-v5",
+                                    "NovelGridworld-Bow-v1"])
+def test_expert_driven_replay(env_id):
+    """Differential replay under the SCRIPTED EXPERT's actions: random
+    actions almost never reach deep craft-chain states (multi-ingredient
+    crafts at the table, tap extraction cycles, goal terminations every
+    episode), so this drive exercises exactly the success paths the random
+    fuzz undersamples — 1,500 steps, mirrored resets, bit-exact obs /
+    reward / done / info."""
+    import ngx.compat as C
+    from ngx.rl.experts import get_expert
+    from reference_loader import make_ref_env
+    from test_conformance_stacked import assert_obs_equal
+
+    seed = 424
+    np.random.seed(seed)
+    ref = make_ref_env(env_id)
+    np.random.seed(seed)
+    env = C.make(env_id)
+    expert = get_expert(env_id)
+
+    np.random.seed(seed + 1)
+    ref_obs = ref.reset()
+    np.random.seed(seed + 1)
+    obs = env.reset()
+    assert_obs_equal(obs, ref_obs, "reset")
+
+    solves = 0
+    for t in range(1500):
+        a = int(expert(env))
+        ro, rr, rd, ri = ref.step(a)
+        o, r, d, i = env.step(a)
+        assert_obs_equal(o, ro, f"obs at {t} (a={a})")
+        assert r == rr, f"reward {r} != {rr} at {t} (a={a})"
+        assert d == rd, f"done at {t}"
+        if ri:
+            assert i["result"] == ri["result"], f"result at {t}"
+            assert abs(i["step_cost"] - ri["step_cost"]) < 1e-3, t
+            assert i["message"] == ri["message"], t
+        if d:
+            solves += int(r > 0.5 * env.reward_done)
+            np.random.seed(seed + 1000 + t)
+            ref_obs = ref.reset()
+            np.random.seed(seed + 1000 + t)
+            obs = env.reset()
+            assert_obs_equal(obs, ref_obs, f"re-reset at {t}")
+    # the expert must actually be solving (deep-path coverage, not walking)
+    assert solves >= 10, solves
