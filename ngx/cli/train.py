@@ -111,6 +111,53 @@ def main(argv=None):
     num_updates = max(1, args.steps // steps_per_update)
     inject_update = (args.inject_novelty_at // steps_per_update
                      if args.inject_novelty_at else None)
+    inject_spec = None
+    if args.inject_novelty_at:
+        # validate EVERYTHING about the injection before spending a single
+        # training step (review finding: a value under one update's worth
+        # of steps floored to 0 and silently disabled the experiment; an
+        # incompatible novelty aborted only after the whole phase-1 run)
+        if args.chain:
+            # the injection path rebuilds a plain make_train carry, which
+            # the chain trainer's pool-carrying carry cannot continue from
+            # (and the reference's novelty-response experiment is a
+            # plain-env scenario, tests/train.py:73-89)
+            p.error("-chain and -inject_novelty_at are mutually exclusive")
+        if not 1 <= inject_update < num_updates:
+            p.error(
+                f"-inject_novelty_at {args.inject_novelty_at} maps to "
+                f"update {inject_update} of {num_updates} (one update = "
+                f"num_envs*rollout = {steps_per_update} steps); it must "
+                f"land strictly inside the run")
+        import ngx
+        from ngx.core.state import zeros_state
+        from ngx.transforms import lidar_in_front
+        spec1 = lidar_in_front(ngx.make_spec(args.env))
+        inject_spec = ngx.inject_novelty(
+            ngx.make_spec(args.env), args.novelty,
+            args.novelty_difficulty, args.novelty_arg1, args.novelty_arg2)
+        spec2_l = lidar_in_front(inject_spec)
+        # continuing the SAME policy across the injection requires
+        # unchanged obs/action dims — the reference's novelty-response
+        # experiment is remapaction for exactly this reason
+        # (tests/train.py:73-89).  Item-adding novelties (axe, firewall,
+        # fence, ...) grow the lidar obs and/or action space; train them
+        # from scratch on a pre-injected spec instead.
+        # eval_shape: dims only, no device dispatch (an error here must not
+        # pay the tunnel's backend spin-up)
+        d1 = int(jax.eval_shape(ngx.make_step(spec1).get_obs,
+                                zeros_state(spec1)).shape[-1])
+        d2 = int(jax.eval_shape(ngx.make_step(spec2_l).get_obs,
+                                zeros_state(spec2_l)).shape[-1])
+        if spec2_l.n_actions != spec1.n_actions or d1 != d2:
+            p.error(
+                f"-inject_novelty_at cannot continue the trained policy "
+                f"across '{args.novelty}': it changes the obs/action dims "
+                f"(obs {d1} -> {d2}, actions {spec1.n_actions} -> "
+                f"{spec2_l.n_actions}).  The reference's mid-training "
+                f"scenario is dimension-preserving (remapaction, "
+                f"tests/train.py:73-89); to train under this novelty, "
+                f"start a fresh run on the injected spec.")
 
     os.makedirs(args.log, exist_ok=True)
     t0 = time.time()
@@ -121,12 +168,6 @@ def main(argv=None):
     w.writeheader()
 
     key = jax.random.key(args.seed)
-    if args.chain and args.inject_novelty_at:
-        # the injection path rebuilds a plain make_train carry, which the
-        # chain trainer's pool-carrying carry layout cannot continue from
-        # (and the reference's novelty-response experiment is a plain-env
-        # scenario, tests/train.py:73-89)
-        p.error("-chain and -inject_novelty_at are mutually exclusive")
     if args.chain:
         from ngx.rl.curriculum import make_train_chain
         from ngx.utils.checkpoint import restore_pytree
@@ -277,37 +318,8 @@ def main(argv=None):
             # novelty response experiment: rebuild the env mid-training
             # (RemapActionOnStep, reference tests/train.py:73-89)
             print(f"injecting novelty {args.novelty} at update {inject_update}")
-            import ngx
-            from ngx.transforms import lidar_in_front
-            spec1 = lidar_in_front(ngx.make_spec(args.env))
-            spec2 = ngx.inject_novelty(
-                ngx.make_spec(args.env), args.novelty,
-                args.novelty_difficulty, args.novelty_arg1, args.novelty_arg2)
-            spec2_l = lidar_in_front(spec2)
-            # continuing the SAME policy across the injection requires
-            # unchanged obs/action dims — the reference's novelty-response
-            # experiment is remapaction for exactly this reason
-            # (tests/train.py:73-89).  Item-adding novelties (axe, firewall,
-            # fence, ...) grow the lidar obs and/or action space; train them
-            # from scratch via `-env` + a pre-injected spec... i.e. without
-            # -inject_novelty_at.  Fail loudly instead of deep in tracing.
-            from ngx.core.state import zeros_state
-            import ngx as _ngx
-            d1 = int(_ngx.make_step(spec1).get_obs(
-                zeros_state(spec1)).shape[-1])
-            d2 = int(_ngx.make_step(spec2_l).get_obs(
-                zeros_state(spec2_l)).shape[-1])
-            if spec2_l.n_actions != spec1.n_actions or d1 != d2:
-                raise SystemExit(
-                    f"-inject_novelty_at cannot continue the trained policy "
-                    f"across '{args.novelty}': it changes the obs/action "
-                    f"dims (obs {d1} -> {d2}, actions {spec1.n_actions} "
-                    f"-> {spec2_l.n_actions}).  The reference's mid-training "
-                    f"scenario is dimension-preserving (remapaction, "
-                    f"tests/train.py:73-89); to train under this novelty, "
-                    f"start a fresh run on the injected spec.")
             init2, train_step2 = make_train(
-                cfg, spec_override=spec2,
+                cfg, spec_override=inject_spec,
                 rollout_backend=args.rollout_backend)
             carry2 = init2(jax.random.fold_in(key, 999))
             ts = carry[0]

@@ -23,6 +23,27 @@ def occupancy(maps, item_id):
     return (maps == item_id).mean(axis=0)
 
 
+def check_reset_invariants(spec, maps, agents, facing, n):
+    """Shared structural invariants for any reset-state source: exact spawn
+    counts, the cell+4-neighbors-air placement rule, agent in the 2-margin
+    interior, uniform facing."""
+    wall = spec.items.index("wall")
+    tree = spec.items.index("tree_log")
+    ct = spec.items.index("crafting_table")
+    assert ((maps == tree).sum(axis=(1, 2)) == 5).all()
+    assert ((maps == ct).sum(axis=(1, 2)) == 1).all()
+    for m in maps[:200]:
+        occ = m.copy()
+        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0  # ignore walls
+        rs, cs = np.nonzero(occ)
+        for r, c in zip(rs, cs):
+            assert m[r - 1, c] in (0, wall) and m[r + 1, c] in (0, wall)
+            assert m[r, c - 1] in (0, wall) and m[r, c + 1] in (0, wall)
+    assert agents.min() >= 2 and agents.max() <= spec.map_size - 3
+    faces = np.bincount(facing, minlength=4) / n
+    np.testing.assert_allclose(faces, 0.25, atol=0.03)
+
+
 def test_native_reset_matches_mirror_distribution():
     spec = ngx.make_spec(POGO)
     n = 4000
@@ -49,23 +70,9 @@ def test_native_reset_matches_mirror_distribution():
         outside[2:-2, 2:-2] = False
         assert a[outside].sum() == 0 and b[outside].sum() == 0
 
-    # item counts exact in every native reset
-    assert ((native_maps == tree).sum(axis=(1, 2)) == 5).all()
-    assert ((native_maps == ct).sum(axis=(1, 2)) == 1).all()
-    # no two items adjacent at reset (the 4-neighbor-air invariant)
-    for m in native_maps[:200]:
-        occ = m.copy()
-        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0  # ignore walls
-        rs, cs = np.nonzero(occ)
-        for r, c in zip(rs, cs):
-            assert m[r - 1, c] in (0, 8) and m[r + 1, c] in (0, 8)
-            assert m[r, c - 1] in (0, 8) and m[r, c + 1] in (0, 8)
-
-    # agent cell/facing uniform over interior
-    agents = np.asarray(native_states.agent)
-    assert agents.min() >= 2 and agents.max() <= spec.map_size - 3
-    faces = np.bincount(np.asarray(native_states.facing), minlength=4) / n
-    np.testing.assert_allclose(faces, 0.25, atol=0.03)
+    check_reset_invariants(spec, native_maps,
+                           np.asarray(native_states.agent),
+                           np.asarray(native_states.facing), n)
 
 
 def test_pool_reset_generator_matches_native_distribution():
@@ -91,19 +98,8 @@ def test_pool_reset_generator_matches_native_distribution():
         np.testing.assert_allclose(occupancy(pmaps, item),
                                    occupancy(nmaps, item), atol=0.03,
                                    err_msg=f"pool occupancy item {item}")
-    assert ((pmaps == tree).sum(axis=(1, 2)) == 5).all()
-    assert ((pmaps == ct).sum(axis=(1, 2)) == 1).all()
-    for m in pmaps[:200]:
-        occ = m.copy()
-        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0
-        rs, cs = np.nonzero(occ)
-        for r, c in zip(rs, cs):
-            assert m[r - 1, c] in (0, 8) and m[r + 1, c] in (0, 8)
-            assert m[r, c - 1] in (0, 8) and m[r, c + 1] in (0, 8)
-    agents = np.asarray(pool.agent)
-    assert agents.min() >= 2 and agents.max() <= spec.map_size - 3
-    faces = np.bincount(np.asarray(pool.facing), minlength=4) / n
-    np.testing.assert_allclose(faces, 0.25, atol=0.03)
+    check_reset_invariants(spec, pmaps, np.asarray(pool.agent),
+                           np.asarray(pool.facing), n)
     assert (np.asarray(pool.step_count) == 0).all()
 
     # novelty spec with a percent-fill reset edit (the pool generator's
